@@ -1,0 +1,147 @@
+"""ReadStore — the packed, device-ready read database.
+
+Replaces the reference's Dataset + the read-sequence payload of its hash data
+table (the reference stores every read twice inside hash buckets and uses the
+table as the read store, reference: src/BuildGraph/src/HashTable.cpp:423-514).
+We store each read once, 2-bit packed into uint32 words, plus its reverse
+complement (precomputed so device kernels never reverse at runtime).
+
+Read IDs are 1-based and assigned in file order after QC, exactly like the
+reference (reference: src/BuildGraph/src/Dataset.cpp:133-135). `file_index`
+is the 1-based record position across all input files
+(reference: src/BuildGraph/src/Dataset.cpp:183,294).
+"""
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils import dna
+from . import fasta, readqc
+
+
+@dataclass
+class ReadStore:
+    n_reads: int
+    max_len: int
+    n_words: int
+    lengths: np.ndarray          # (N,) int32
+    file_index: np.ndarray       # (N,) int64, 1-based record index
+    packed: np.ndarray           # (N, n_words+1) uint32 (one zero pad word)
+    packed_rc: np.ndarray        # (N, n_words+1) uint32, reverse complement
+    # dataset bookkeeping (paired-end ranges etc.), 1-based inclusive ID ranges
+    dataset_ranges: List[Tuple[str, bool, int, int]] = field(default_factory=list)
+    min_overlap: int = 0
+
+    # ------------------------------------------------------------------ build
+    # reference: src/BuildGraph/src/Dataset.h:14 READ_TASK_BLOCK
+    READ_TASK_BLOCK = 10000
+
+    @classmethod
+    def from_files(cls, paired_files: Sequence[str], single_files: Sequence[str],
+                   min_overlap: int, id_map_path: Optional[str] = None,
+                   reference_task_order: bool = True) -> "ReadStore":
+        """reference_task_order=True replays the reference's read-ID
+        assignment order: its parser batches records into OpenMP tasks of
+        READ_TASK_BLOCK+1 records (reference: Dataset.cpp:295-338); with one
+        thread libgomp defers the tasks and runs them LIFO at the taskwait,
+        and the sub-block remainder runs inline afterwards
+        (reference: Dataset.cpp:346-370) — so IDs go to the LAST full block
+        first, then backwards, then the remainder. False gives natural file
+        order (the sane default for native mode)."""
+        seqs: List[str] = []
+        findx: List[int] = []
+        ranges: List[Tuple[str, bool, int, int]] = []
+        file_index = 0
+        lines = []
+        for group, is_paired in ((paired_files, True), (single_files, False)):
+            for i, path in enumerate(group):
+                start_id = len(seqs)
+                start_findx = file_index
+                recs = []
+                for seq in fasta.read_records(path):
+                    file_index += 1
+                    recs.append((file_index, seq))
+                bs = cls.READ_TASK_BLOCK + 1
+                blocks = [recs[s:s + bs] for s in range(0, len(recs), bs)]
+                if reference_task_order and blocks:
+                    if len(blocks[-1]) == bs:
+                        order = blocks[::-1]
+                    else:
+                        order = blocks[-2::-1] + [blocks[-1]]
+                else:
+                    order = blocks
+                for block in order:
+                    for fi, seq in block:
+                        if readqc.test_read(seq, min_overlap):
+                            seqs.append(seq)
+                            findx.append(fi)
+                if len(seqs) == start_id:
+                    raise ValueError(f"File empty. No reads loaded from {path}")
+                ranges.append((path, is_paired, start_id + 1, len(seqs)))
+                kind = "Paired-end" if is_paired else "Singleton"
+                # reference: Dataset.cpp:115-127 — the "ReadID Range" recorded
+                # is actually the file-index (record) range
+                lines.append(f"{path}: {kind} file {i+1}\n"
+                             f"ReadID Range: ({start_findx+1},{file_index})\n")
+        if id_map_path:
+            # reference: src/BuildGraph/src/Dataset.cpp:103-128
+            with open(id_map_path, "w") as f:
+                f.writelines(lines)
+        store = cls.from_sequences(seqs, file_index=np.asarray(findx, np.int64))
+        store.dataset_ranges = ranges
+        store.min_overlap = min_overlap
+        return store
+
+    @classmethod
+    def from_sequences(cls, seqs: Sequence[str],
+                       file_index: Optional[np.ndarray] = None) -> "ReadStore":
+        n = len(seqs)
+        if n == 0:
+            raise ValueError("no reads")
+        lengths = np.asarray([len(s) for s in seqs], np.int32)
+        max_len = int(lengths.max())
+        n_words = (max_len + dna.BASES_PER_WORD - 1) // dna.BASES_PER_WORD
+        codes = np.zeros((n, max_len), np.uint8)
+        codes_rc = np.zeros((n, max_len), np.uint8)
+        for i, s in enumerate(seqs):
+            c = dna.encode(s)
+            if (c == 255).any():
+                raise ValueError(f"non-ACGT base in read {i+1}")
+            codes[i, :len(s)] = c
+            codes_rc[i, :len(s)] = (3 - c)[::-1]
+        packed = np.zeros((n, n_words + 1), np.uint32)
+        packed_rc = np.zeros((n, n_words + 1), np.uint32)
+        packed[:, :n_words] = dna.pack_codes(codes, n_words)
+        packed_rc[:, :n_words] = dna.pack_codes(codes_rc, n_words)
+        if file_index is None:
+            file_index = np.arange(1, n + 1, dtype=np.int64)
+        return cls(n_reads=n, max_len=max_len, n_words=n_words,
+                   lengths=lengths, file_index=file_index,
+                   packed=packed, packed_rc=packed_rc)
+
+    # ------------------------------------------------------------------ query
+    def get(self, read_id: int) -> str:
+        """Forward string of 1-based read_id (debug/host use)."""
+        i = read_id - 1
+        length = int(self.lengths[i])
+        out = []
+        for w in self.packed[i]:
+            out.append(dna.unpack_word(int(w)))
+        return "".join(out)[:length]
+
+    def get_rc(self, read_id: int) -> str:
+        i = read_id - 1
+        length = int(self.lengths[i])
+        out = []
+        for w in self.packed_rc[i]:
+            out.append(dna.unpack_word(int(w)))
+        return "".join(out)[:length]
+
+    def kmer_code(self, read_id: int, start: int, k: int) -> int:
+        """2-bit code of bases [start, start+k) of the forward read (host)."""
+        s = self.get(read_id)[start:start + k]
+        code = 0
+        for ch in s:
+            code = (code << 2) | "ACGT".index(ch)
+        return code
