@@ -1,0 +1,195 @@
+"""Multi-chip overlap superstep over a jax.sharding.Mesh.
+
+TPU-native replacement for the reference's two distribution modes:
+
+- BuildGraphMPI (replicated index, partitioned reads,
+  reference: src/BuildGraphMPI/src/OverlapGraph.cpp:294-295): the query axis
+  is sharded over the mesh ("dp"), reads replicated.
+- BuildGraphMPIRMA (partitioned hash data + passive-target MPI_Get with
+  software caches, reference: src/BuildGraphMPIRMA/src/HashTable.cpp:92-119,
+  648-708): the fingerprint table is HASH-SHARDED by key
+  (owner = key mod n_shards) and each superstep routes query k-mers to their
+  owner shard with one fused `all_to_all`; answers return the same way —
+  bulk-synchronous exchange instead of latency-bound one-sided Gets
+  (SURVEY.md §5.8).
+- The reference's async marked-bitmap gossip
+  (BuildGraphMPI/src/OverlapGraph.cpp:204-290) becomes a synchronous
+  `all_gather`/`pmax` per superstep.
+
+Everything is static-shape: queries are binned into fixed-capacity per-peer
+blocks (overflow is counted and reported so the host can run a follow-up
+round), hits are capped per query at `hit_cap` with validity masks.
+"""
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..index.table import FingerprintTable
+from ..io.readstore import ReadStore
+from ..overlap.verify import verify_windows
+
+AXIS = "dp"
+
+
+def _bin_by_owner(owner, n_bins, cap):
+    """Scatter indices [0, Q) into an (n_bins, cap) slot matrix by owner id.
+    Returns (slots int32, -1 padding; overflow count). Overflowing entries
+    are dropped via an out-of-bounds row index."""
+    q = owner.shape[0]
+    order = jnp.argsort(owner, stable=True)
+    sowner = owner[order].astype(jnp.int32)
+    start = jnp.searchsorted(sowner, jnp.arange(n_bins, dtype=jnp.int32))
+    rank = jnp.arange(q, dtype=jnp.int32) - start[sowner]
+    valid = rank < cap
+    row = jnp.where(valid, sowner, n_bins)          # OOB row -> dropped
+    col = jnp.where(valid, rank, 0)
+    slots = jnp.full((n_bins, cap), -1, jnp.int32)
+    slots = slots.at[row, col].set(order.astype(jnp.int32), mode="drop")
+    overflow = q - valid.sum()
+    return slots, overflow
+
+
+@dataclass
+class ShardedOverlapEngine:
+    """Device-sharded candidate lookup + verification.
+
+    Host-side setup shards the sorted fingerprint table by key ownership
+    (key mod n_shards) and pads shards to equal length; the device superstep
+    does bin -> all_to_all -> local searchsorted -> all_to_all -> verify.
+    """
+    mesh: Mesh
+    n_words: int
+    k: int
+    hit_cap: int
+    route_cap: int
+    keys: np.ndarray    # (n_shards, M_pad) uint64, each row sorted
+    read: np.ndarray    # (n_shards, M_pad) int32
+    orient: np.ndarray  # (n_shards, M_pad) int32
+
+    @classmethod
+    def build(cls, store: ReadStore, table: FingerprintTable, mesh: Mesh,
+              hit_cap: int = 8, route_cap: int = 4096) -> "ShardedOverlapEngine":
+        n_shards = mesh.devices.size
+        owner = (table.keys % np.uint64(n_shards)).astype(np.int64)
+        m_pad = max(int(np.bincount(owner, minlength=n_shards).max()), 1)
+        keys = np.full((n_shards, m_pad), np.uint64(0xFFFFFFFFFFFFFFFF))
+        read = np.zeros((n_shards, m_pad), np.int32)
+        orient = np.zeros((n_shards, m_pad), np.int32)
+        for s in range(n_shards):
+            sel = owner == s
+            m = int(sel.sum())
+            keys[s, :m] = table.keys[sel]   # globally sorted => row sorted
+            read[s, :m] = table.read[sel]
+            orient[s, :m] = table.orient[sel]
+        return cls(mesh=mesh, n_words=store.n_words, k=table.k,
+                   hit_cap=hit_cap, route_cap=route_cap,
+                   keys=keys, read=read, orient=orient)
+
+    # ------------------------------------------------------------------
+    def _superstep(self, packed_all, lengths, qread, qj, qcode, marked,
+                   lkeys, lread, lorient):
+        """Per-shard body (runs under shard_map). Local outputs:
+        (verified_count (1,), overflow (1,), marked_union (1, N))."""
+        n_shards = jax.lax.psum(1, AXIS)
+        k = self.k
+        hit_cap = self.hit_cap
+        route_cap = self.route_cap
+
+        # 1. union of marked bitmaps (replaces async gossip)
+        marked_union = jax.lax.all_gather(marked, AXIS, tiled=True)
+
+        # 2. route query codes to their owner shards
+        owner = (qcode % jnp.uint64(n_shards)).astype(jnp.int32)
+        slots, overflow = _bin_by_owner(owner, n_shards, route_cap)
+        slot_valid = slots >= 0
+        q_idx = jnp.clip(slots, 0)
+        codes_out = jnp.where(slot_valid, qcode[q_idx], jnp.uint64(0))
+        codes_in = jax.lax.all_to_all(codes_out, AXIS, 0, 0, tiled=True)
+        valid_in = jax.lax.all_to_all(slot_valid, AXIS, 0, 0, tiled=True)
+
+        # 3. local table lookup
+        flat_codes = codes_in.reshape(-1)
+        lo = jnp.searchsorted(lkeys, flat_codes, side="left")
+        hi = jnp.searchsorted(lkeys, flat_codes, side="right")
+        tpos = lo[:, None] + jnp.arange(hit_cap, dtype=lo.dtype)[None, :]
+        hit_valid = (tpos < hi[:, None]) & valid_in.reshape(-1)[:, None]
+        tpos = jnp.clip(tpos, 0, lkeys.shape[0] - 1)
+        hit_read = jnp.where(hit_valid, lread[tpos], 0).astype(jnp.int32)
+        hit_orient = jnp.where(hit_valid, lorient[tpos], 0).astype(jnp.int32)
+
+        # 4. answers ride back to the querying shard
+        def back(x):
+            return jax.lax.all_to_all(
+                x.reshape(n_shards, route_cap, hit_cap), AXIS, 0, 0,
+                tiled=True).reshape(n_shards * route_cap, hit_cap)
+
+        hit_read = back(hit_read)
+        hit_orient = back(hit_orient)
+        pair_valid = back(hit_valid)
+
+        # 5. verify returned candidates locally (edge check geometry,
+        #    reference: src/BuildGraph/src/OverlapGraph.cpp:567-595)
+        flat_slots = slots.reshape(-1)
+        q_idx = jnp.clip(flat_slots, 0)
+        r1 = qread[q_idx]
+        j = qj[q_idx]
+        len1 = lengths[r1]
+        pair_valid = pair_valid & (flat_slots >= 0)[:, None]
+
+        r2 = hit_read
+        len2 = lengths[r2]
+        ho = hit_orient
+        suffix_case = (ho == 1) | (ho == 3)
+        use_rc = ho >= 2
+        n_reads = lengths.shape[0]
+
+        e_valid = jnp.where(suffix_case,
+                            j[:, None] <= len2 - k,
+                            (len1[:, None] - j[:, None]) < len2)
+        e_valid &= (j[:, None] >= 1) & (r1[:, None] != r2) & pair_valid
+        e_n = jnp.where(suffix_case, j[:, None] + k,
+                        len1[:, None] - j[:, None])
+        e_n = jnp.where(e_valid, e_n, 0).astype(jnp.int32)
+        e_o1 = jnp.where(suffix_case, 0, j[:, None]).astype(jnp.int32)
+        e_o2 = jnp.where(suffix_case, len2 - e_n, 0).astype(jnp.int32)
+        e_o2 = jnp.maximum(e_o2, 0)
+        rows1 = jnp.broadcast_to(r1[:, None].astype(jnp.int32), e_n.shape)
+        rows2 = (r2 + jnp.where(use_rc, n_reads, 0)).astype(jnp.int32)
+
+        ok = verify_windows(packed_all, rows1.ravel(), rows2.ravel(),
+                            e_o1.ravel(), e_o2.ravel(), e_n.ravel(),
+                            n_words=self.n_words)
+        verified = (ok & (e_n.ravel() > 0)).sum()
+        return (verified[None], overflow[None], marked_union[None, :])
+
+    def make_step(self):
+        """Returns a jitted SPMD step over the mesh.
+        step(packed_all, lengths, qread, qj, qcode, marked) ->
+          (per-shard verified counts (n_shards,), overflows (n_shards,),
+           marked unions (n_shards, N))."""
+        from jax.experimental.shard_map import shard_map
+        mesh = self.mesh
+        keys = jnp.asarray(self.keys)
+        read = jnp.asarray(self.read)
+        orient = jnp.asarray(self.orient)
+
+        def body(packed_all, lengths, qread, qj, qcode, marked,
+                 keys_s, read_s, orient_s):
+            return self._superstep(packed_all, lengths, qread, qj, qcode,
+                                   marked, keys_s[0], read_s[0], orient_s[0])
+
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                      P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            check_rep=False)
+
+        @jax.jit
+        def run(packed_all, lengths, qread, qj, qcode, marked):
+            return fn(packed_all, lengths, qread, qj, qcode, marked,
+                      keys, read, orient)
+        return run
