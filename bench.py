@@ -1,0 +1,152 @@
+"""Round benchmark: overlap-verification throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "overlaps_verified_per_s_chip", "value": N, "unit": "pairs/s",
+   "vs_baseline": R}
+
+The workload is the overlap phase's inner loop — the reference's hot path
+(byte-wise substring compares inside hash-bucket probes,
+reference: src/BuildGraph/src/OverlapGraph.cpp:401-478,638-674) — expressed
+as one device batch: for every candidate (read1 window j, read2, orientation)
+verify the suffix-prefix/containment window over 2-bit packed words.
+
+vs_baseline divides by the reference buildG's effective rate on this machine
+(same candidate count / buildG wall-clock with all host cores), measured
+once and cached in refbuild/bench_baseline.json.
+"""
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(ROOT))
+
+GENOME_LEN = 400_000
+COVERAGE = 25
+READ_LEN = 250
+MIN_OVERLAP = 40
+SEED = 42
+
+
+def make_dataset(path: str) -> None:
+    subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "make_testdata.py"), path,
+         "--genome-len", str(GENOME_LEN), "--coverage", str(COVERAGE),
+         "--read-len", str(READ_LEN), "--insert", "600",
+         "--seed", str(SEED)],
+        check=True, stdout=subprocess.DEVNULL)
+
+
+def candidate_batch(fasta: str):
+    """Host prep: read store, fingerprint table, candidate windows."""
+    from disco_tpu.index.table import FingerprintTable
+    from disco_tpu.io.readstore import ReadStore
+    from disco_tpu.overlap import relation as R
+
+    store = ReadStore.from_files([fasta], [], MIN_OVERLAP,
+                                 reference_task_order=False)
+    k = MIN_OVERLAP - 1
+    table = FingerprintTable.build(store, k)
+    qread, qj, qcode = R.window_codes(store, k)
+    lo, hi = table.lookup_ranges(qcode)
+    counts = (hi - lo).astype(np.int64)
+    total = int(counts.sum())
+    pair_q = np.repeat(np.arange(len(qread), dtype=np.int64), counts)
+    cum = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    rank = np.arange(total, dtype=np.int64) - cum[pair_q]
+    tpos = lo[pair_q] + rank
+    r1 = qread[pair_q].astype(np.int32)
+    j = qj[pair_q]
+    r2 = table.read[tpos]
+    orient = table.orient[tpos]
+    len1 = store.lengths[r1].astype(np.int32)
+    len2 = store.lengths[r2].astype(np.int32)
+    suffix_case = R._IS_SUFFIX_CASE[orient]
+    use_rc = R._USE_RC[orient]
+    e_valid = np.where(suffix_case, j <= len2 - k, (len1 - j) < len2)
+    e_valid &= (j >= 1) & (r1 != r2)
+    e_n = np.where(suffix_case, j + k, len1 - j).astype(np.int32)
+    e_n = np.where(e_valid, e_n, 0)
+    e_o1 = np.where(suffix_case, 0, j).astype(np.int32)
+    e_o2 = np.maximum(np.where(suffix_case, len2 - e_n, 0), 0).astype(np.int32)
+    rows2 = (r2 + np.where(use_rc, store.n_reads, 0)).astype(np.int32)
+    return store, r1, rows2, e_o1, e_o2, e_n
+
+
+def main() -> None:
+    import jax
+    from disco_tpu.overlap.verify import make_packed_all, verify_windows
+
+    with tempfile.TemporaryDirectory() as td:
+        fasta = os.path.join(td, "bench.fasta")
+        make_dataset(fasta)
+        store, r1, rows2, o1, o2, n = candidate_batch(fasta)
+        packed_all = jax.device_put(
+            make_packed_all(store.packed, store.packed_rc))
+        total = len(r1)
+        dev = [jax.device_put(x) for x in (r1, rows2, o1, o2, n)]
+        # warmup / compile
+        out = verify_windows(packed_all, *dev, n_words=store.n_words)
+        out.block_until_ready()
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = verify_windows(packed_all, *dev, n_words=store.n_words)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        rate = total / dt
+
+        baseline = _reference_rate(fasta, total)
+
+    print(json.dumps({
+        "metric": "overlaps_verified_per_s_chip",
+        "value": round(rate),
+        "unit": "pairs/s",
+        "vs_baseline": (round(rate / baseline, 2) if baseline else None),
+    }))
+
+
+def _reference_rate(fasta: str, total_pairs: int):
+    """Reference buildG rate on all host cores: same candidate workload /
+    buildG wall-clock.  Measured once, cached."""
+    cache = ROOT / "refbuild" / "bench_baseline.json"
+    key = f"{GENOME_LEN}:{COVERAGE}:{READ_LEN}:{MIN_OVERLAP}:{SEED}"
+    if cache.exists():
+        try:
+            data = json.loads(cache.read_text())
+            if data.get("key") == key:
+                return data["pairs_per_s"]
+        except Exception:
+            pass
+    buildg = ROOT / "refbuild" / "buildG"
+    if not buildg.exists():
+        return None
+    nthreads = os.cpu_count() or 1
+    with tempfile.TemporaryDirectory() as td:
+        cfg = os.path.join(td, "b.cfg")
+        with open(cfg, "w") as f:
+            f.write(f"MinOverlap4BuildGraph = {MIN_OVERLAP}\n")
+        t0 = time.perf_counter()
+        subprocess.run(
+            [str(buildg), "-pe", fasta, "-f", os.path.join(td, "REF"),
+             "-p", cfg, "-t", str(nthreads), "-m", "8"],
+            check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        wall = time.perf_counter() - t0
+    rate = total_pairs / wall
+    try:
+        cache.write_text(json.dumps(
+            {"key": key, "pairs_per_s": rate, "buildG_wall_s": wall,
+             "threads": nthreads}))
+    except OSError:
+        pass
+    return rate
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,321 @@
+"""fullsimplify's view of the read set.
+
+Read IDs here are RAW FILE POSITIONS: the reference's DataSet assigns one ID
+per input record with no QC (reference: DataSet.cpp:15-119), matching the
+fileIndex convention of the buildG edge files (OUTPUT.md:8).
+
+Replicated quirks (load-bearing for parity):
+- storeContainedReadInformation attaches each finished group of contained
+  reads to the NEXT group's containing read, and drops the final group
+  (reference: DataSet.cpp:316-335 — the `else` branch passes the new line's
+  containingReadID with the previous group's lists).
+- getReadCoverage counts a contained read at base `indx` when
+  overlapStart > indx (sic) and indx < overlapStart+len
+  (reference: DataSet.cpp:365-381).
+- getMatePair returns 0 when the mate is a contained read.
+"""
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from .core import Edge
+
+
+@dataclass
+class DataSetInfo:
+    number: int
+    is_paired: bool
+    is_interleaved: bool
+    r1_start: int
+    r1_end: int
+    r2_start: int = 0
+    r2_end: int = 0
+    avg_inner_distance: float = 0.0
+    avg_inner_distance_sd: float = 0.0
+    r1_file: str = ""
+    r2_file: str = ""
+
+
+def count_fasta_records(path: str) -> List[int]:
+    """Record lengths in file order (FASTA or FASTQ; reference parses with
+    getline '>'-delimited concatenation, DataSet.cpp:88-102)."""
+    lengths: List[int] = []
+    with open(path) as f:
+        first = f.read(1)
+        f.seek(0)
+        if first == ">":
+            cur = None
+            for line in f:
+                if line.startswith(">"):
+                    if cur is not None:
+                        lengths.append(cur)
+                    cur = 0
+                else:
+                    cur += len(line.strip())
+            if cur is not None:
+                lengths.append(cur)
+        elif first == "@":
+            while True:
+                h = f.readline()
+                if not h:
+                    break
+                s = f.readline().strip()
+                f.readline()
+                f.readline()
+                lengths.append(len(s))
+        else:
+            raise ValueError(f"Unknown read file format: {path}")
+    return lengths
+
+
+def iter_fasta_seqs(path: str):
+    """Yield raw record sequences in file order (uppercased like the
+    reference's contig streamer, OverlapGraph.cpp:2165)."""
+    with open(path) as f:
+        first = f.read(1)
+        f.seek(0)
+        if first == ">":
+            cur: Optional[List[str]] = None
+            for line in f:
+                if line.startswith(">"):
+                    if cur is not None:
+                        yield "".join(cur).upper()
+                    cur = []
+                else:
+                    cur.append(line.strip())
+            if cur is not None:
+                yield "".join(cur).upper()
+        else:
+            while True:
+                h = f.readline()
+                if not h:
+                    break
+                s = f.readline().strip()
+                f.readline()
+                f.readline()
+                yield s.upper()
+
+
+class SimplifyDataset:
+    """Read table + mate-pair arithmetic + read->edge back-index."""
+
+    def __init__(self, single_files: List[str], pair_files: List[str],
+                 inter_pair_files: List[str]):
+        self.lengths: List[int] = [0]  # 1-based
+        self.datasets: List[DataSetInfo] = []
+        self.single_files = list(single_files)
+        self.pair_files = list(pair_files)
+        self.inter_pair_files = list(inter_pair_files)
+        n = 0
+        # separated pairs come first (reference: DataSet.cpp:129-147)
+        it = iter(pair_files)
+        for f1 in it:
+            f2 = next(it)
+            info = DataSetInfo(len(self.datasets), True, False, n + 1, 0)
+            self.lengths.extend(count_fasta_records(f1))
+            info.r1_end = len(self.lengths) - 1
+            info.r2_start = len(self.lengths)
+            self.lengths.extend(count_fasta_records(f2))
+            info.r2_end = len(self.lengths) - 1
+            info.r1_file, info.r2_file = f1, f2
+            n = len(self.lengths) - 1
+            self.datasets.append(info)
+        for f1 in inter_pair_files:
+            info = DataSetInfo(len(self.datasets), True, True, n + 1, 0)
+            self.lengths.extend(count_fasta_records(f1))
+            info.r1_end = len(self.lengths) - 1
+            info.r1_file = f1
+            n = len(self.lengths) - 1
+            self.datasets.append(info)
+        for f1 in single_files:
+            info = DataSetInfo(len(self.datasets), False, False, n + 1, 0)
+            self.lengths.extend(count_fasta_records(f1))
+            info.r1_end = len(self.lengths) - 1
+            info.r1_file = f1
+            n = len(self.lengths) - 1
+            self.datasets.append(info)
+
+        nn = self.size()
+        self.contained_flag = [False] * (nn + 1)
+        # per-read list of (containedReadID, ovlStart, orient)
+        self.con_reads: List[Optional[List[Tuple[int, int, int]]]] = \
+            [None] * (nn + 1)
+        self.used: List[bool] = [False] * (nn + 1)
+        # read -> edge registrations: list of (edge, index, orient_bit)
+        # orient_bit 0 => forward list, 1 => backward list
+        self.edge_locs: List[List] = [None] * (nn + 1)
+
+    def size(self) -> int:
+        return len(self.lengths) - 1
+
+    def read_len(self, rid: int) -> int:
+        return self.lengths[rid]
+
+    # -- contained reads ----------------------------------------------------
+    def store_contained_read_info(self, files: List[str]) -> int:
+        ctr = 0
+        for path in files:
+            this_containing = 0
+            ids: List[int] = []
+            oris: List[int] = []
+            starts: List[int] = []
+            with open(path) as f:
+                for line in f:
+                    toks = line.rstrip("\n").split("\t")
+                    if len(toks) < 3:
+                        continue
+                    contained = int(toks[0])
+                    containing = int(toks[1])
+                    info = toks[2].split(",")
+                    ori = int(info[0])
+                    ovl_start = int(info[8])
+                    if not self.contained_flag[contained]:
+                        self.contained_flag[contained] = True
+                        ctr += 1
+                    if this_containing == containing:
+                        ids.append(contained)
+                        oris.append(ori)
+                        starts.append(ovl_start)
+                    else:
+                        # reference bug replicated: previous group's lists
+                        # attached to the NEW containing read; final group
+                        # dropped (DataSet.cpp:316-335)
+                        if ids:
+                            self._set_con_reads(containing, ids, starts, oris)
+                        this_containing = containing
+                        ids = [contained]
+                        oris = [ori]
+                        starts = [ovl_start]
+        return ctr
+
+    def _set_con_reads(self, rid: int, ids, starts, oris) -> None:
+        lst = self.con_reads[rid]
+        if lst is None:
+            lst = []
+            self.con_reads[rid] = lst
+        lst.extend(zip(ids, starts, oris))
+
+    def contained_count(self, rid: int) -> int:
+        lst = self.con_reads[rid]
+        return len(lst) if lst else 0
+
+    def recursive_contained_count(self, rid: int) -> int:
+        lst = self.con_reads[rid]
+        if not lst:
+            return 0
+        total = len(lst)
+        for (cid, _s, _o) in lst:
+            total += self.recursive_contained_count(cid)
+        return total
+
+    def read_coverage(self, rid: int, indx: int) -> int:
+        """reference: DataSet::getReadCoverage (DataSet.cpp:365-381)."""
+        cov = 1
+        lst = self.con_reads[rid]
+        if not self.contained_flag[rid] and lst:
+            for (cid, start, _o) in lst:
+                if start > indx and indx < start + self.lengths[cid]:
+                    cov += 1
+        return cov
+
+    # -- mates --------------------------------------------------------------
+    def mate_pair(self, r1: int) -> int:
+        """reference: DataSet::getMatePair (DataSet.cpp:385-423)."""
+        for d in self.datasets:
+            if not d.is_paired:
+                continue
+            if d.r1_start <= r1 <= d.r1_end:
+                if d.is_interleaved:
+                    if (r1 - d.r1_start) % 2:
+                        r2 = r1 - 1
+                    else:
+                        r2 = r1 + 1
+                    if r2 != 0 and not self.contained_flag[r2]:
+                        return r2
+                    break
+                else:
+                    r2 = (r1 - d.r1_start) + d.r2_start
+                    if not self.contained_flag[r2]:
+                        return r2
+                    break
+            elif d.r2_start != 0 and d.r2_start <= r1 <= d.r2_end:
+                r2 = (r1 - d.r2_start) + d.r1_start
+                if not self.contained_flag[r2]:
+                    return r2
+                break
+        return 0
+
+    def mate_pair_list(self, rid: int) -> List[int]:
+        """reference: DataSet::getMatePairList (DataSet.cpp:425-440)."""
+        out = []
+        m = self.mate_pair(rid)
+        if m:
+            out.append(m)
+        lst = self.con_reads[rid]
+        if lst:
+            for (cid, _s, _o) in lst:
+                cm = self.mate_pair(cid)
+                if cm:
+                    out.append(cm)
+        return out
+
+    def dataset_number(self, rid: int) -> int:
+        for d in self.datasets:
+            if (d.r1_start <= rid <= d.r1_end
+                    or (d.r2_start and d.r2_start <= rid <= d.r2_end)):
+                return d.number
+        raise ValueError(f"read {rid} not in any dataset")
+
+    # -- read -> edge back-index (reference: Read::setEdge/delEdge) ---------
+    def set_edge(self, rid: int, edge: Edge, idx: int, orient_bit: int):
+        lst = self.edge_locs[rid]
+        if lst is None:
+            lst = []
+            self.edge_locs[rid] = lst
+        lst.append((edge, idx, orient_bit))
+
+    def del_edge(self, rid: int, edge: Edge, idx: int, orient_bit: int):
+        lst = self.edge_locs[rid]
+        if not lst:
+            return
+        for i, (e, j, o) in enumerate(lst):
+            if e is edge and j == idx and o == orient_bit:
+                del lst[i]
+                return
+        # reference delEdge with no match decrements count anyway (drops the
+        # final entry); replicate
+        if lst:
+            lst.pop()
+
+    def clear_edge_info(self) -> None:
+        self.edge_locs = [None] * (self.size() + 1)
+
+    def fwd_edges(self, rid: int) -> List[Tuple[Edge, int]]:
+        lst = self.edge_locs[rid]
+        if not lst:
+            return []
+        return [(e, i) for (e, i, o) in lst if o == 0]
+
+    def bwd_edges(self, rid: int) -> List[Tuple[Edge, int]]:
+        lst = self.edge_locs[rid]
+        if not lst:
+            return []
+        return [(e, i) for (e, i, o) in lst if o == 1]
+
+    # -- used reads ---------------------------------------------------------
+    def load_used_reads(self, path: str) -> int:
+        ctr = 0
+        try:
+            f = open(path)
+        except OSError:
+            return 0
+        with f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rid = int(line)
+                if not self.used[rid]:
+                    self.used[rid] = True
+                    ctr += 1
+                    ctr += self.recursive_contained_count(rid)
+        return ctr
