@@ -1,0 +1,196 @@
+"""Fully on-device overlap phase: window codes -> sorted-table lookup ->
+candidate expansion -> verification, all inside one jit.
+
+This is the performance engine (the parity replay keeps its own host path in
+`relation.py`; both produce the same verified-hit relation).  Design:
+
+- Window codes are computed straight from the packed words with a
+  three-word funnel (no base unpacking, no (N, L) uint8 intermediates):
+  for window j, take words j//16, +1, +2, shift out the 2*(j%16) phase bits
+  and keep the top 2k bits.  Replaces the reference's per-substring
+  std::string hashing (reference: src/BuildGraph/src/HashTable.cpp:396-416).
+- Lookup is a vectorized searchsorted over the sorted fingerprint keys
+  (reference's chained-bucket probe, HashTable.cpp:521-571).
+- Candidates are expanded to a fixed per-window cap with validity masks
+  (static shapes for XLA); overflow beyond the cap is counted and returned
+  so callers can fall back to the exact host path for those windows
+  (Disco itself caps at MAX_EDGE_PER_KMER=4 candidate INSERTIONS, but
+  verification needs every bucket entry, so the cap here is over bucket
+  entries; table occupancy makes >hit_cap buckets rare at sane k).
+"""
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.table import FingerprintTable
+from ..io.readstore import ReadStore
+from .verify import make_packed_all
+
+_EDGE_ORIENT = jnp.asarray([3, 0, 2, 1], jnp.int32)
+_IS_SUFFIX = jnp.asarray([0, 1, 0, 1], jnp.bool_)
+_USE_RC = jnp.asarray([0, 0, 1, 1], jnp.bool_)
+
+
+class DeviceOverlapResult(NamedTuple):
+    """Per (window, slot) candidate grid with verification masks."""
+    r2: jax.Array        # (Q, H) int32 candidate read ids
+    orient: jax.Array    # (Q, H) int32 hit orientation
+    typ: jax.Array       # (Q, H) int32 record type
+    edge_ok: jax.Array   # (Q, H) bool
+    cont_ok: jax.Array   # (Q, H) bool
+    overflow: jax.Array  # () int32 windows with more than H hits
+    n_hits: jax.Array    # () int64 occupied candidate slots
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "n_words", "max_len", "hit_cap"))
+def device_overlap(packed, packed_all, lengths, starts, keys, tread, torient,
+                   ttyp, *, k, n_words, max_len, hit_cap):
+    """packed: (N, W+1) uint32 forward reads; packed_all: (2N, W+1);
+    lengths: (N,) int32; starts: (Q,) int32 flat window list given as
+    (read_id * max_len + j) indices; keys/tread/torient/ttyp: fingerprint
+    table columns (sorted by key)."""
+    n_reads = lengths.shape[0]
+    qread = (starts // max_len).astype(jnp.int32)
+    qj = (starts % max_len).astype(jnp.int32)
+
+    # ---- window codes: 3-word funnel ----------------------------------
+    wbase = qj // 16
+    phase = (2 * (qj % 16)).astype(jnp.uint32)
+    wlim = packed.shape[1] - 1
+    w0 = packed[qread, jnp.minimum(wbase, wlim)].astype(jnp.uint64)
+    w1 = packed[qread, jnp.minimum(wbase + 1, wlim)].astype(jnp.uint64)
+    w2 = packed[qread, jnp.minimum(wbase + 2, wlim)].astype(jnp.uint64)
+    hi = (w0 << jnp.uint64(32)) | w1
+    phase64 = phase.astype(jnp.uint64)
+    # w2 holds bases 32..47 in its (32-bit) value: funnel in its top
+    # `phase` bits, i.e. >> (32-phase), via a two-step shift to avoid the
+    # undefined shift-by-32 at phase 0
+    win = jnp.where(
+        phase64 == 0, hi,
+        (hi << phase64) | ((w2 >> (jnp.uint64(31) - phase64))
+                           >> jnp.uint64(1)))
+    kk = min(k, 32)
+    qcode = win >> jnp.uint64(64 - 2 * kk)
+
+    # ---- table lookup --------------------------------------------------
+    lo = jnp.searchsorted(keys, qcode, side="left")
+    hi_i = jnp.searchsorted(keys, qcode, side="right")
+    overflow = jnp.sum((hi_i - lo) > hit_cap)
+    tpos = lo[:, None] + jnp.arange(hit_cap, dtype=lo.dtype)[None, :]
+    valid = tpos < hi_i[:, None]
+    tpos = jnp.clip(tpos, 0, keys.shape[0] - 1)
+    r2 = jnp.where(valid, tread[tpos], 0).astype(jnp.int32)
+    orient = jnp.where(valid, torient[tpos], 0).astype(jnp.int32)
+    typ = jnp.where(valid, ttyp[tpos], 0).astype(jnp.int32)
+
+    # ---- window geometry (reference: OverlapGraph.cpp:517-595) ---------
+    len1 = lengths[qread][:, None]
+    len2 = lengths[r2]
+    j = qj[:, None]
+    suffix_case = _IS_SUFFIX[orient]
+    use_rc = _USE_RC[orient]
+
+    e_valid = jnp.where(suffix_case, j <= len2 - k, (len1 - j) < len2)
+    e_valid &= (j >= 1) & (qread[:, None] != r2) & valid
+    e_n = jnp.where(suffix_case, j + k, len1 - j).astype(jnp.int32)
+    e_n = jnp.where(e_valid, e_n, 0)
+    e_o1 = jnp.where(suffix_case, 0, j).astype(jnp.int32)
+    e_o2 = jnp.maximum(jnp.where(suffix_case, len2 - e_n, 0), 0)
+
+    c_valid = jnp.where(suffix_case, j >= len2 - k, j + len2 <= len1)
+    c_valid &= (qread[:, None] != r2) & valid
+    c_n = jnp.where(c_valid, len2, 0).astype(jnp.int32)
+    c_o1 = jnp.where(suffix_case, j + k - len2, j).astype(jnp.int32)
+    c_o1 = jnp.maximum(c_o1, 0)
+
+    rows1 = jnp.broadcast_to(qread[:, None], r2.shape)
+    rows2 = (r2 + jnp.where(use_rc, n_reads, 0)).astype(jnp.int32)
+
+    def check(o1, o2, nl):
+        bit1 = (2 * (o1 % 16)).astype(jnp.uint32)
+        bit2 = (2 * (o2 % 16)).astype(jnp.uint32)
+
+        def body(wi, ok):
+            # fori_loop keeps one word in flight -> bounded HBM footprint
+            rem = nl - 16 * wi
+            idx1 = jnp.minimum(o1 // 16 + wi, wlim)
+            a0 = packed_all[rows1, idx1]
+            a1 = packed_all[rows1, jnp.minimum(idx1 + 1, wlim)]
+            idx2 = jnp.minimum(o2 // 16 + wi, wlim)
+            b0 = packed_all[rows2, idx2]
+            b1 = packed_all[rows2, jnp.minimum(idx2 + 1, wlim)]
+            x = jnp.where(bit1 == 0, a0,
+                          (a0 << bit1) | ((a1 >> (jnp.uint32(31) - bit1))
+                                          >> jnp.uint32(1)))
+            y = jnp.where(bit2 == 0, b0,
+                          (b0 << bit2) | ((b1 >> (jnp.uint32(31) - bit2))
+                                          >> jnp.uint32(1)))
+            full = jnp.uint32(0xFFFFFFFF)
+            partial = full << (jnp.uint32(2) * (
+                jnp.uint32(16)
+                - jnp.clip(rem, 1, 16).astype(jnp.uint32)))
+            mask = jnp.where(rem >= 16, full,
+                             jnp.where(rem <= 0, jnp.uint32(0), partial))
+            return ok & (((x ^ y) & mask) == 0)
+
+        ok0 = jnp.ones(r2.shape, jnp.bool_)
+        return jax.lax.fori_loop(0, n_words, body, ok0)
+
+    edge_ok = check(e_o1, e_o2, e_n) & e_valid
+    cont_ok = check(c_o1, jnp.zeros_like(c_o1), c_n) & c_valid
+    n_hits = valid.sum()
+    return DeviceOverlapResult(r2, orient, typ, edge_ok, cont_ok, overflow,
+                               n_hits)
+
+
+class DeviceOverlapEngine:
+    """Host wrapper: builds device-resident table/store and exposes the
+    jitted overlap step over window chunks."""
+
+    def __init__(self, store: ReadStore, table: FingerprintTable,
+                 hit_cap: int = 16):
+        self.store = store
+        self.k = table.k
+        self.hit_cap = hit_cap
+        self.packed = jax.device_put(jnp.asarray(store.packed))
+        self.packed_all = jax.device_put(
+            make_packed_all(store.packed, store.packed_rc))
+        self.lengths = jax.device_put(
+            jnp.asarray(store.lengths, jnp.int32))
+        self.keys = jax.device_put(jnp.asarray(table.keys))
+        self.tread = jax.device_put(jnp.asarray(table.read, jnp.int32))
+        self.torient = jax.device_put(jnp.asarray(table.orient, jnp.int32))
+        self.ttyp = jax.device_put(jnp.asarray(table.typ, jnp.int32))
+
+    def window_starts(self) -> np.ndarray:
+        lens = self.store.lengths.astype(np.int64)
+        n_win = lens - self.k
+        reads = np.repeat(np.arange(self.store.n_reads, dtype=np.int64),
+                          n_win)
+        offs = np.concatenate([np.arange(c) for c in n_win])
+        return (reads * self.store.max_len + offs).astype(np.int64)
+
+    def run(self, starts) -> DeviceOverlapResult:
+        return device_overlap(
+            self.packed, self.packed_all, self.lengths,
+            jnp.asarray(starts), self.keys, self.tread, self.torient,
+            self.ttyp, k=self.k, n_words=self.store.n_words,
+            max_len=self.store.max_len, hit_cap=self.hit_cap)
+
+    def run_chunked(self, starts: np.ndarray, chunk: int = 1 << 17):
+        """Yield per-chunk results over fixed-size window chunks (the last
+        chunk is padded with repeats of the final window so every step
+        reuses one compiled program and fits HBM)."""
+        q = len(starts)
+        for s in range(0, q, chunk):
+            e = min(s + chunk, q)
+            part = starts[s:e]
+            if e - s < chunk:
+                part = np.concatenate(
+                    [part, np.full(chunk - (e - s), part[-1],
+                                   part.dtype)])
+            yield e - s, self.run(part)

@@ -57,3 +57,36 @@ def verify_windows(packed_all, rows1, rows2, o1, o2, n, *, n_words):
 def make_packed_all(packed: np.ndarray, packed_rc: np.ndarray) -> jnp.ndarray:
     """Stack forward and rc packed reads: rows [0,N) forward, [N,2N) rc."""
     return jnp.asarray(np.concatenate([packed, packed_rc], axis=0))
+
+
+@functools.partial(jax.jit, static_argnames=("n_words", "interpret"))
+def verify_windows_pallas(packed_all, rows1, rows2, o1, o2, n, *, n_words,
+                          interpret=False):
+    """Same contract as verify_windows, but the shift/compare core runs as a
+    Pallas kernel (disco_tpu.overlap.pallas_kernel) after an XLA gather of
+    the word columns.  Pads the pair axis to the kernel tile size."""
+    from .pallas_kernel import LANES, SUB, compare_windows
+
+    p = rows1.shape[0]
+    tile = SUB * LANES
+    pad = (-p) % tile
+    if pad:
+        z = jnp.zeros(pad, jnp.int32)
+        rows1 = jnp.concatenate([rows1.astype(jnp.int32), z])
+        rows2 = jnp.concatenate([rows2.astype(jnp.int32), z])
+        o1 = jnp.concatenate([o1.astype(jnp.int32), z])
+        o2 = jnp.concatenate([o2.astype(jnp.int32), z])
+        n = jnp.concatenate([n.astype(jnp.int32), z])
+    o1 = o1.astype(jnp.int32)
+    o2 = o2.astype(jnp.int32)
+    n = n.astype(jnp.int32)
+    wi = jnp.arange(n_words + 1, dtype=jnp.int32)[:, None]
+    # (W+1, P) gathered word columns, base-word aligned per candidate
+    a = packed_all[rows1[None, :], jnp.minimum(o1[None, :] // 16 + wi,
+                                               packed_all.shape[1] - 1)]
+    b = packed_all[rows2[None, :], jnp.minimum(o2[None, :] // 16 + wi,
+                                               packed_all.shape[1] - 1)]
+    bit1 = 2 * (o1 % 16)
+    bit2 = 2 * (o2 % 16)
+    ok = compare_windows(a, b, bit1, bit2, n, interpret=interpret)
+    return ok[:p] if pad else ok

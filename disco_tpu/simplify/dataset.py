@@ -95,6 +95,39 @@ def iter_fasta_seqs(path: str):
                 yield s.upper()
 
 
+def iter_fasta_records(path: str):
+    """Yield (raw_header_line, sequence) in file order.  The header keeps its
+    '>'/'@' marker: the reference's unused-read writer prepends ANOTHER '>'
+    to the raw line (reference: DataSet.cpp:464,541 — output headers are
+    '>>name' for FASTA input), which we reproduce by giving callers the raw
+    line."""
+    with open(path) as f:
+        first = f.read(1)
+        f.seek(0)
+        if first == ">":
+            header = None
+            cur: List[str] = []
+            for line in f:
+                if line.startswith(">"):
+                    if header is not None:
+                        yield header, "".join(cur)
+                    header = line.rstrip("\n")
+                    cur = []
+                else:
+                    cur.append(line.strip())
+            if header is not None:
+                yield header, "".join(cur)
+        else:
+            while True:
+                h = f.readline()
+                if not h:
+                    break
+                s = f.readline().strip()
+                f.readline()
+                f.readline()
+                yield h.rstrip("\n"), s
+
+
 class SimplifyDataset:
     """Read table + mate-pair arithmetic + read->edge back-index."""
 
@@ -219,30 +252,38 @@ class SimplifyDataset:
 
     # -- mates --------------------------------------------------------------
     def mate_pair(self, r1: int) -> int:
-        """reference: DataSet::getMatePair (DataSet.cpp:385-423)."""
+        """reference: DataSet::getMatePair (DataSet.cpp:385-423).
+
+        Scoping quirk replicated: the interleaved branch and the r2-side
+        branch assign the OUTER r2ID before the contained check and then
+        `break`, so a CONTAINED mate is still returned by the function's
+        final `return r2ID`; only the separated r1-side branch declares a
+        shadowing local (DataSet.cpp:407) and therefore yields 0 for a
+        contained mate."""
+        r2_out = 0
         for d in self.datasets:
             if not d.is_paired:
                 continue
             if d.r1_start <= r1 <= d.r1_end:
                 if d.is_interleaved:
                     if (r1 - d.r1_start) % 2:
-                        r2 = r1 - 1
+                        r2_out = r1 - 1
                     else:
-                        r2 = r1 + 1
-                    if r2 != 0 and not self.contained_flag[r2]:
-                        return r2
-                    break
+                        r2_out = r1 + 1
+                    if r2_out != 0 and not self.contained_flag[r2_out]:
+                        return r2_out
+                    break  # contained mate still returned below
                 else:
-                    r2 = (r1 - d.r1_start) + d.r2_start
-                    if not self.contained_flag[r2]:
-                        return r2
-                    break
+                    r2_local = (r1 - d.r1_start) + d.r2_start
+                    if not self.contained_flag[r2_local]:
+                        return r2_local
+                    break  # shadowed local: outer stays 0
             elif d.r2_start != 0 and d.r2_start <= r1 <= d.r2_end:
-                r2 = (r1 - d.r2_start) + d.r1_start
-                if not self.contained_flag[r2]:
-                    return r2
-                break
-        return 0
+                r2_out = (r1 - d.r2_start) + d.r1_start
+                if not self.contained_flag[r2_out]:
+                    return r2_out
+                break  # contained mate still returned below
+        return r2_out
 
     def mate_pair_list(self, rid: int) -> List[int]:
         """reference: DataSet::getMatePairList (DataSet.cpp:425-440)."""

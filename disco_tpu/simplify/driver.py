@@ -29,16 +29,16 @@ def run_fullsimplify(single_files: List[str], pair_files: List[str],
     dataset.store_contained_read_info(contained_files)
 
     params = Params()
-    ctg_count = 0
-    scf_count = 0
-    checkpoints: List[str] = []
+
+    # resume state (reference: readCheckpointInfo, main.cpp:316-374)
+    phase_done, ctg_count, scf_count, start_iter = read_checkpoint_info(
+        prefix + "_SimplificationCheckpointInfo.txt", max_iters)
 
     def checkpoint(line: str) -> None:
-        checkpoints.append(line)
         with open(prefix + "_SimplificationCheckpointInfo.txt", "a") as f:
             f.write(line + "\n")
 
-    for iteration in range(1, max_iters + 1):
+    for iteration in range(start_iter, max_iters + 1):
         dataset.clear_edge_info()
         for i in range(1, dataset.size() + 1):
             dataset.used[i] = False
@@ -48,19 +48,112 @@ def run_fullsimplify(single_files: List[str], pair_files: List[str],
         cont = _simplify_iteration(dataset, params, edge_files, prefix,
                                    iteration, checkpoint,
                                    single_files, pair_files,
-                                   inter_pair_files, ctg_count, scf_count)
+                                   inter_pair_files, ctg_count, scf_count,
+                                   phase_done[iteration - 1])
         ctg_count = cont["ctg_count"]
         scf_count = cont["scf_count"]
         if not cont["continue"]:
             break
+    if params.print_unused:
+        write_unused_reads(dataset, prefix)
     return dataset
+
+
+# phase indices (reference checkpoint keys, main.cpp:343-362)
+P_PARSIMPLIFY, P_INITIAL, P_AGGRESSIVE, P_FLOW, P_POSTFLOW, P_CTG, \
+    P_SCAFFOLD = range(7)
+
+
+def read_checkpoint_info(path: str, max_iters: int):
+    """reference: readCheckpointInfo (main.cpp:316-374).  Returns
+    (phase_done per iteration, ctg_count, scf_count, start_iteration)."""
+    phase_done = [[0] * 7 for _ in range(max_iters)]
+    ctg = scf = 0
+    try:
+        f = open(path)
+    except OSError:
+        return phase_done, 0, 0, 1
+    with f:
+        it = 1
+        for line in f:
+            if "=" not in line:
+                continue
+            name, _, val = line.strip().partition("=")
+            name = name.strip()
+            val = val.strip()
+            if name == "Iteration":
+                it = int(val)
+            elif name == "ParSimplify" and val == "1":
+                phase_done[it - 1][P_PARSIMPLIFY] = 1
+            elif name == "InitialSimplify" and val == "1":
+                phase_done[it - 1][P_INITIAL] = 1
+            elif name == "AggressiveSimplify" and val == "1":
+                phase_done[it - 1][P_AGGRESSIVE] = 1
+            elif name == "FlowAnalysis" and val == "1":
+                phase_done[it - 1][P_FLOW] = 1
+            elif name == "PostFlowAnalysis" and val == "1":
+                phase_done[it - 1][P_POSTFLOW] = 1
+            elif name == "PrintCtg":
+                phase_done[it - 1][P_CTG] = 1
+                ctg = int(val)
+            elif name == "Scaffold":
+                phase_done[it - 1][P_SCAFFOLD] = 1
+                scf = int(val)
+    for i in range(max_iters):
+        if any(v == 0 for v in phase_done[i]):
+            return phase_done, ctg, scf, i + 1
+    return phase_done, ctg, scf, 1
+
+
+def write_unused_reads(dataset: SimplifyDataset, prefix: str) -> None:
+    """reference: DataSet::writeUnUsedReads + printUnusedReads
+    (DataSet.cpp:441-614): per dataset, emit reads where the read or its
+    mate is unused."""
+    from .dataset import iter_fasta_records
+
+    def emit(path: str, start_rid: int, out) -> None:
+        # The reference's FASTA walk consumes each record's '>' as the
+        # getline delimiter of the PREVIOUS record's sequence, so every
+        # header line0 lacks the marker EXCEPT the first file record
+        # (DataSet.cpp:501-528); output is '>' + line0, giving '>>name'
+        # only for record 1.  FASTQ keeps its '@' on every record.
+        rid = start_rid
+        for i, (raw_header, seq) in enumerate(iter_fasta_records(path)):
+            hdr = raw_header
+            if i > 0 and hdr.startswith(">"):
+                hdr = hdr[1:]
+            mate = dataset.mate_pair(rid)
+            if mate != 0:
+                if not dataset.used[rid] or not dataset.used[mate]:
+                    out.write(f">{hdr}\n{seq}\n")
+            else:
+                if not dataset.used[rid]:
+                    out.write(f">{hdr}\n{seq}\n")
+            rid += 1
+
+    for ds in dataset.datasets:
+        d = ds.number
+        if ds.is_paired and ds.is_interleaved:
+            with open(f"{prefix}_{d}_UnusedPairedReads.fasta", "w") as f:
+                emit(ds.r1_file, ds.r1_start, f)
+        elif ds.is_paired:
+            with open(f"{prefix}_{d}_UnusedPairedReads1.fasta", "w") as f:
+                emit(ds.r1_file, ds.r1_start, f)
+            with open(f"{prefix}_{d}_UnusedPairedReads2.fasta", "w") as f:
+                emit(ds.r2_file, ds.r2_start, f)
+        else:
+            with open(f"{prefix}_{d}_UnusedSingleReads.fasta", "w") as f:
+                emit(ds.r1_file, ds.r1_start, f)
 
 
 def _simplify_iteration(dataset: SimplifyDataset, params: Params,
                         edge_files: List[str], prefix: str, iteration: int,
                         checkpoint, single_files, pair_files,
                         inter_pair_files, ctg_count: int = 0,
-                        scf_count: int = 0) -> dict:
+                        scf_count: int = 0,
+                        phase_done: Optional[List[int]] = None) -> dict:
+    if phase_done is None:
+        phase_done = [0] * 7
     checkpoint(f"Iteration={iteration}")
     total_reads = dataset.size()
     used_reads = 0
@@ -72,42 +165,53 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
 
     # --- phase 0: per-partition simplification + load + contract ----------
     graph = FullGraph(dataset, params)
-    for i, ef in enumerate(edge_files):
-        out = f"{prefix}_{i}_ParSimpleEdges.txt"
-        if not os.path.exists(out):
-            parsimplify(ef, out, params.min_ovl, 1)
-        graph.read_par_edges(out)
-    graph.sort_edges_by_dest()
-    while graph.contract_composite_par() > 0:
-        pass
-    graph.print_all_edges(f"{prefix}_phase_parsimplify_{iteration}.txt")
-    graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
-    checkpoint("ParSimplify=1")
+    if phase_done[P_PARSIMPLIFY] == 0:
+        for i, ef in enumerate(edge_files):
+            out = f"{prefix}_{i}_ParSimpleEdges.txt"
+            if not os.path.exists(out):
+                parsimplify(ef, out, params.min_ovl, 1)
+            graph.read_par_edges(out)
+        graph.sort_edges_by_dest()
+        while graph.contract_composite_par() > 0:
+            pass
+        graph.print_all_edges(f"{prefix}_phase_parsimplify_{iteration}.txt")
+        graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
+        checkpoint("ParSimplify=1")
+    else:
+        # resume: reload the checkpoint graph (reference: the parGlobalGraph
+        # ctor, OverlapGraph.cpp:1139-1160)
+        graph.read_par_edges(f"{prefix}_CurrGraph_.txt")
+        while graph.contract_composite_par() > 0:
+            pass
 
     # --- phase 1: initial simplification -----------------------------------
-    graph.graph_path_find_initial()
-    graph.print_all_edges(f"{prefix}_phase_initial_{iteration}.txt")
-    graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
-    checkpoint("InitialSimplify=1")
+    if phase_done[P_INITIAL] == 0:
+        graph.graph_path_find_initial()
+        graph.print_all_edges(f"{prefix}_phase_initial_{iteration}.txt")
+        graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
+        checkpoint("InitialSimplify=1")
 
     # --- phase 2: aggressive simplification ---------------------------------
-    graph.simplify_graph()
-    graph.print_all_edges(f"{prefix}_phase_aggressive_{iteration}.txt")
-    graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
-    checkpoint("AggressiveSimplify=1")
+    if phase_done[P_AGGRESSIVE] == 0:
+        graph.simplify_graph()
+        graph.print_all_edges(f"{prefix}_phase_aggressive_{iteration}.txt")
+        graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
+        checkpoint("AggressiveSimplify=1")
 
     # --- phase 3: flow analysis --------------------------------------------
-    graph.calculate_flow(dimacs_dump=f"{prefix}_dimacs_dump.txt")
-    graph.remove_edges_without_flow()
-    graph.print_all_edges(f"{prefix}_phase_flow_{iteration}.txt")
-    graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
-    checkpoint("FlowAnalysis=1")
+    if phase_done[P_FLOW] == 0:
+        graph.calculate_flow(dimacs_dump=f"{prefix}_dimacs_dump.txt")
+        graph.remove_edges_without_flow()
+        graph.print_all_edges(f"{prefix}_phase_flow_{iteration}.txt")
+        graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
+        checkpoint("FlowAnalysis=1")
 
     # --- phase 4: post-flow simplification ----------------------------------
-    graph.simplify_graph()
-    graph.print_all_edges(f"{prefix}_phase_postflow_{iteration}.txt")
-    graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
-    checkpoint("PostFlowAnalysis=1")
+    if phase_done[P_POSTFLOW] == 0:
+        graph.simplify_graph()
+        graph.print_all_edges(f"{prefix}_phase_postflow_{iteration}.txt")
+        graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
+        checkpoint("PostFlowAnalysis=1")
 
     from . import scaffold as _scaffold
     from . import contigs as _contigs
@@ -129,6 +233,16 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
         graph.print_all_edges(f"{prefix}_phase_printctg_{iteration}.txt")
         graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
         checkpoint(f"PrintCtg={ctg_count}")
+
+    # --- GFA export (reference: main.cpp:207-227) ---------------------------
+    if params.print_gfa:
+        from . import gfa as _gfa
+        with open(f"{prefix}_Graph_{iteration}.gfa", "w") as f:
+            _gfa.write_gfa(graph, f)
+    if params.print_gfa2:
+        from . import gfa as _gfa
+        with open(f"{prefix}_Graph_{iteration}.gfa2", "w") as f:
+            _gfa.write_gfa2(graph, f)
 
     # --- phase 6: scaffolding ----------------------------------------------
     _scaffold.scaffold_phase(graph)
