@@ -81,35 +81,23 @@ def candidate_batch(fasta: str):
 
 def main() -> None:
     import jax
-    from disco_tpu.index.table import FingerprintTable
-    from disco_tpu.io.readstore import ReadStore
-    from disco_tpu.overlap.device import DeviceOverlapEngine
+    from disco_tpu.overlap.verify import make_packed_all, verify_windows
 
     with tempfile.TemporaryDirectory() as td:
         fasta = os.path.join(td, "bench.fasta")
         make_dataset(fasta)
-        store = ReadStore.from_files([fasta], [], MIN_OVERLAP,
-                                     reference_task_order=False)
-        table = FingerprintTable.build(store, MIN_OVERLAP - 1)
-        eng = DeviceOverlapEngine(store, table, hit_cap=16)
-        starts = eng.window_starts()
-        # exact candidate count (host, outside the timed loop): every table
-        # hit gets one edge check and one containment check
-        from disco_tpu.overlap.relation import window_codes
-        _qr, _qj, qcode = window_codes(store, MIN_OVERLAP - 1)
-        lo, hi = table.lookup_ranges(qcode)
-        total = 2 * int((hi - lo).sum())
-        # warmup / compile the full device step (chunked to fit HBM):
-        # window codes -> searchsorted -> candidate expansion -> verify
-        for n_real, res in eng.run_chunked(starts):
-            pass
-        res.edge_ok.block_until_ready()
-        reps = 3
+        store, r1, rows2, o1, o2, n = candidate_batch(fasta)
+        packed_all = jax.device_put(
+            make_packed_all(store.packed, store.packed_rc))
+        total = len(r1)
+        dev = [jax.device_put(x) for x in (r1, rows2, o1, o2, n)]
+        out = verify_windows(packed_all, *dev, n_words=store.n_words)
+        out.block_until_ready()
+        reps = 5
         t0 = time.perf_counter()
         for _ in range(reps):
-            for n_real, res in eng.run_chunked(starts):
-                pass
-            res.edge_ok.block_until_ready()
+            out = verify_windows(packed_all, *dev, n_words=store.n_words)
+        out.block_until_ready()
         dt = (time.perf_counter() - t0) / reps
         rate = total / dt
 

@@ -137,8 +137,10 @@ def device_overlap(packed, packed_all, lengths, starts, keys, tread, torient,
                              jnp.where(rem <= 0, jnp.uint32(0), partial))
             return ok & (((x ^ y) & mask) == 0)
 
-        ok0 = jnp.ones(r2.shape, jnp.bool_)
-        return jax.lax.fori_loop(0, n_words, body, ok0)
+        ok = jnp.ones(r2.shape, jnp.bool_)
+        for wi in range(n_words):
+            ok = body(wi, ok)
+        return ok
 
     edge_ok = check(e_o1, e_o2, e_n) & e_valid
     cont_ok = check(c_o1, jnp.zeros_like(c_o1), c_n) & c_valid

@@ -57,7 +57,9 @@ class OverlapRelation:
 
 def window_codes(store: ReadStore, k: int):
     """Return (qread, qj, qcode): one query per (read, window j in [0,len-k)).
-    Codes are the first min(k,32) bases of each window, packed uint64."""
+    Codes are the first min(k,32) bases of each window, packed uint64,
+    computed with a three-word funnel over the packed words (no per-base
+    unpacking; same formula as the device pipeline, overlap/device.py)."""
     kk = min(k, 32)
     n = store.n_reads
     lens = store.lengths.astype(np.int64)
@@ -68,98 +70,131 @@ def window_codes(store: ReadStore, k: int):
     offs = np.concatenate([np.arange(c, dtype=np.int64) for c in n_win])
     qj = offs.astype(np.int32)
 
-    # base codes matrix on demand (host); rolling-code per row
-    # code[j] = bases[j .. j+kk) packed big-endian 2-bit
-    maxlen = store.max_len
     words = store.packed
-    # unpack all bases once: (N, maxlen) uint8
-    t = np.arange(maxlen)
-    shifts = (30 - 2 * (t % 16)).astype(np.uint32)
-    bases = ((words[:, t // 16] >> shifts) & np.uint32(3)).astype(np.uint8)
-
-    # rolling code along axis 1
-    codes = np.zeros((n, maxlen), np.uint64)
-    acc = np.zeros(n, np.uint64)
-    mask = np.uint64((1 << (2 * kk)) - 1) if kk < 32 else np.uint64(0xFFFFFFFFFFFFFFFF)
-    for pos in range(maxlen):
-        acc = ((acc << np.uint64(2)) | bases[:, pos].astype(np.uint64)) & mask
-        if pos >= kk - 1:
-            codes[:, pos - kk + 1] = acc
-    qcode = codes[qread, qj]
+    wlim = words.shape[1] - 1
+    wbase = qj // 16
+    phase = (2 * (qj % 16)).astype(np.uint64)
+    w0 = words[qread, np.minimum(wbase, wlim)].astype(np.uint64)
+    w1 = words[qread, np.minimum(wbase + 1, wlim)].astype(np.uint64)
+    w2 = words[qread, np.minimum(wbase + 2, wlim)].astype(np.uint64)
+    hi = (w0 << np.uint64(32)) | w1
+    win = np.where(phase == 0, hi,
+                   (hi << phase) | ((w2 >> (np.uint64(31) - phase))
+                                    >> np.uint64(1)))
+    qcode = win >> np.uint64(64 - 2 * kk)
     return qread, qj, qcode
 
 
 def compute_relation(store: ReadStore, table: FingerprintTable,
-                     chunk: int = 1 << 20) -> OverlapRelation:
+                     chunk: int = 1 << 22) -> OverlapRelation:
+    """Candidate pairs are expanded and verified in chunks of `chunk`
+    candidates so the host never materialises the full candidate list —
+    only verified hits are kept (required for multi-Mb genomes)."""
     k = table.k
     qread, qj, qcode = window_codes(store, k)
     lo, hi = table.lookup_ranges(qcode)
     counts = (hi - lo).astype(np.int64)
-    total = int(counts.sum())
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    total = int(cum[-1])
 
-    pair_q = np.repeat(np.arange(len(qread), dtype=np.int64), counts)
-    # intra-group rank
-    cum = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    rank = np.arange(total, dtype=np.int64) - cum[pair_q]
-    tpos = lo[pair_q] + rank
-
-    r1 = qread[pair_q]
-    j = qj[pair_q]
-    r2 = table.read[tpos]
-    orient = table.orient[tpos]
-    typ = table.typ[tpos]
-
-    len1 = store.lengths[r1].astype(np.int32)
-    len2 = store.lengths[r2].astype(np.int32)
-    suffix_case = _IS_SUFFIX_CASE[orient]
-    use_rc = _USE_RC[orient]
-
-    # ---- window geometry -------------------------------------------------
-    # edge (reference: OverlapGraph.cpp:567-595)
-    e_valid = np.where(suffix_case,
-                       j <= len2 - k,                # orient 1/3
-                       (len1 - j) < len2)            # orient 0/2 must extend
-    e_valid &= (j >= 1) & (r1 != r2)
-    e_n = np.where(suffix_case, j + k, len1 - j).astype(np.int32)
-    e_o1 = np.where(suffix_case, 0, j).astype(np.int32)
-    e_o2 = np.where(suffix_case, len2 - e_n, 0).astype(np.int32)
-
-    # containment (reference: OverlapGraph.cpp:517-554)
-    c_valid = np.where(suffix_case, j >= len2 - k, j + len2 <= len1)
-    c_valid &= r1 != r2
-    c_n = len2.astype(np.int32)
-    c_o1 = np.where(suffix_case, j + k - len2, j).astype(np.int32)
-    c_o2 = np.zeros_like(c_o1)
-
-    # ---- device verification (both checks in one batch) ------------------
     n = store.n_reads
     packed_all = _verify.make_packed_all(store.packed, store.packed_rc)
-    rows2 = (r2 + np.where(use_rc, n, 0)).astype(np.int32)
 
-    def run(o1, o2, nlen, valid):
-        out = np.zeros(total, np.bool_)
-        nlen = np.where(valid, nlen, 0)  # invalid -> zero-length (True), mask after
-        for s in range(0, total, chunk):
-            e = min(s + chunk, total)
+    kept = {"r1": [], "j": [], "r2": [], "orient": [], "typ": [],
+            "cont_ok": [], "edge_ok": []}
+
+    # chunk boundaries in candidate space aligned to window groups
+    q_starts = [0]
+    while q_starts[-1] < len(qread):
+        nxt = int(np.searchsorted(cum, cum[q_starts[-1]] + chunk,
+                                  side="left"))
+        nxt = max(nxt, q_starts[-1] + 1)
+        q_starts.append(min(nxt, len(qread)))
+
+    for qs, qe in zip(q_starts[:-1], q_starts[1:]):
+        cnt = counts[qs:qe]
+        tot = int(cnt.sum())
+        if tot == 0:
+            continue
+        pair_q = np.repeat(np.arange(qs, qe, dtype=np.int64), cnt)
+        rank = np.arange(tot, dtype=np.int64) - np.repeat(
+            (cum[qs:qe] - cum[qs]), cnt)
+        tpos = lo[pair_q] + rank
+
+        r1 = qread[pair_q]
+        j = qj[pair_q]
+        r2 = table.read[tpos]
+        orient = table.orient[tpos]
+        typ = table.typ[tpos]
+
+        len1 = store.lengths[r1].astype(np.int32)
+        len2 = store.lengths[r2].astype(np.int32)
+        suffix_case = _IS_SUFFIX_CASE[orient]
+        use_rc = _USE_RC[orient]
+
+        # edge (reference: OverlapGraph.cpp:567-595)
+        e_valid = np.where(suffix_case, j <= len2 - k, (len1 - j) < len2)
+        e_valid &= (j >= 1) & (r1 != r2)
+        e_n = np.where(suffix_case, j + k, len1 - j).astype(np.int32)
+        e_o1 = np.where(suffix_case, 0, j).astype(np.int32)
+        e_o2 = np.where(suffix_case, len2 - e_n, 0).astype(np.int32)
+
+        # containment (reference: OverlapGraph.cpp:517-554)
+        c_valid = np.where(suffix_case, j >= len2 - k, j + len2 <= len1)
+        c_valid &= r1 != r2
+        c_n = len2.astype(np.int32)
+        c_o1 = np.where(suffix_case, j + k - len2, j).astype(np.int32)
+        c_o2 = np.zeros_like(c_o1)
+
+        rows2 = (r2 + np.where(use_rc, n, 0)).astype(np.int32)
+
+        def run(o1, o2, nlen, valid):
+            # pad to a multiple of the chunk size so the jitted verifier
+            # compiles for at most a couple of shapes
+            nlen = np.where(valid, nlen, 0)
+            pad = (-len(o1)) % chunk
+            if pad:
+                z = np.zeros(pad, np.int32)
+                ok = _verify.verify_windows(
+                    packed_all,
+                    np.concatenate([r1.astype(np.int32), z]),
+                    np.concatenate([rows2, z]),
+                    np.concatenate([o1, z]), np.concatenate([o2, z]),
+                    np.concatenate([nlen, z]), n_words=store.n_words)
+                return np.asarray(ok)[:len(o1)] & valid
             ok = _verify.verify_windows(
-                packed_all, r1[s:e].astype(np.int32), rows2[s:e],
-                o1[s:e], o2[s:e], nlen[s:e], n_words=store.n_words)
-            out[s:e] = np.asarray(ok)
-        return out & valid
+                packed_all, r1.astype(np.int32), rows2, o1, o2, nlen,
+                n_words=store.n_words)
+            return np.asarray(ok) & valid
 
-    edge_ok = run(e_o1, e_o2, e_n, e_valid)
-    cont_ok = run(c_o1, c_o2, c_n, c_valid)
+        edge_ok = run(e_o1, e_o2, e_n, e_valid)
+        cont_ok = run(c_o1, c_o2, c_n, c_valid)
+        keep = edge_ok | cont_ok
+        kept["r1"].append(r1[keep].astype(np.int32))
+        kept["j"].append(j[keep])
+        kept["r2"].append(r2[keep].astype(np.int32))
+        kept["orient"].append(orient[keep])
+        kept["typ"].append(typ[keep])
+        kept["cont_ok"].append(cont_ok[keep])
+        kept["edge_ok"].append(edge_ok[keep])
 
-    keep = edge_ok | cont_ok
+    def cat(name, dtype=None):
+        if not kept[name]:
+            return np.zeros(0, dtype or np.int32)
+        return np.concatenate(kept[name])
+
+    r1 = cat("r1")
+    j = cat("j")
+    r2 = cat("r2")
+    orient = cat("orient", np.int8)
+    typ = cat("typ", np.int8)
+    cont_ok = cat("cont_ok", np.bool_)
+    edge_ok = cat("edge_ok", np.bool_)
+
     # hits per (r1, j) ordered like the reference's bucket scan: by the
     # candidate's FILE index (insertion order), prefix record first
-    fidx2 = store.file_index[r2[keep]]
-    order = np.lexsort((typ[keep], fidx2, j[keep], r1[keep]))
-
-    def sel(a):
-        return a[keep][order]
-
+    fidx2 = store.file_index[r2]
+    order = np.lexsort((typ, fidx2, j, r1))
     return OverlapRelation(
-        r1=sel(r1).astype(np.int32), j=sel(j), r2=sel(r2).astype(np.int32),
-        orient=sel(orient), typ=sel(typ),
-        cont_ok=sel(cont_ok), edge_ok=sel(edge_ok), k=k)
+        r1=r1[order], j=j[order], r2=r2[order], orient=orient[order],
+        typ=typ[order], cont_ok=cont_ok[order], edge_ok=edge_ok[order], k=k)

@@ -7,6 +7,7 @@ Phase snapshots are written with the same names the patched oracle produces
 import os
 from typing import List, Optional
 
+from ..utils.logging import clock, log
 from .core import Alloc
 from .dataset import SimplifyDataset
 from .engine import FullGraph
@@ -186,29 +187,33 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
 
     # --- phase 1: initial simplification -----------------------------------
     if phase_done[P_INITIAL] == 0:
-        graph.graph_path_find_initial()
+        with clock("graphPathFindInitial"):
+            graph.graph_path_find_initial()
         graph.print_all_edges(f"{prefix}_phase_initial_{iteration}.txt")
         graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
         checkpoint("InitialSimplify=1")
 
     # --- phase 2: aggressive simplification ---------------------------------
     if phase_done[P_AGGRESSIVE] == 0:
-        graph.simplify_graph()
+        with clock("simplifyGraph"):
+            graph.simplify_graph()
         graph.print_all_edges(f"{prefix}_phase_aggressive_{iteration}.txt")
         graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
         checkpoint("AggressiveSimplify=1")
 
     # --- phase 3: flow analysis --------------------------------------------
     if phase_done[P_FLOW] == 0:
-        graph.calculate_flow(dimacs_dump=f"{prefix}_dimacs_dump.txt")
-        graph.remove_edges_without_flow()
+        with clock("calculateFlowStream"):
+            graph.calculate_flow(dimacs_dump=f"{prefix}_dimacs_dump.txt")
+            graph.remove_edges_without_flow()
         graph.print_all_edges(f"{prefix}_phase_flow_{iteration}.txt")
         graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
         checkpoint("FlowAnalysis=1")
 
     # --- phase 4: post-flow simplification ----------------------------------
     if phase_done[P_POSTFLOW] == 0:
-        graph.simplify_graph()
+        with clock("postFlowSimplify"):
+            graph.simplify_graph()
         graph.print_all_edges(f"{prefix}_phase_postflow_{iteration}.txt")
         graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
         checkpoint("PostFlowAnalysis=1")
@@ -245,7 +250,8 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
             _gfa.write_gfa2(graph, f)
 
     # --- phase 6: scaffolding ----------------------------------------------
-    _scaffold.scaffold_phase(graph)
+    with clock("scaffold"):
+        _scaffold.scaffold_phase(graph)
     if params.print_scaffolds:
         scf_count = _contigs.stream_contigs(
             graph, single_files, pair_files, inter_pair_files,
