@@ -17,10 +17,14 @@ TPU-native replacement for the reference's two distribution modes:
   `all_gather`/`pmax` per superstep.
 
 Everything is static-shape: queries are binned into fixed-capacity per-peer
-blocks (overflow is counted and reported so the host can run a follow-up
-round), hits are capped per query at `hit_cap` with validity masks.
+blocks (overflow is counted and reported so the host can re-run those
+windows), hits are capped per query at `hit_cap` with validity masks.  The
+superstep returns the full verified-hit grids so a distributed buildG can
+assemble the same relation (and therefore the same output files) as the
+single-chip path.
 """
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +33,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..index.table import FingerprintTable
 from ..io.readstore import ReadStore
-from ..overlap.verify import verify_windows
+from ..overlap.device import candidate_checks
 
 AXIS = "dp"
 
@@ -58,8 +62,7 @@ class ShardedOverlapEngine:
 
     Host-side setup shards the sorted fingerprint table by key ownership
     (key mod n_shards) and pads shards to equal length; the device superstep
-    does bin -> all_to_all -> local searchsorted -> all_to_all -> verify.
-    """
+    does bin -> all_to_all -> local searchsorted -> all_to_all -> verify."""
     mesh: Mesh
     n_words: int
     k: int
@@ -68,6 +71,7 @@ class ShardedOverlapEngine:
     keys: np.ndarray    # (n_shards, M_pad) uint64, each row sorted
     read: np.ndarray    # (n_shards, M_pad) int32
     orient: np.ndarray  # (n_shards, M_pad) int32
+    typ: np.ndarray     # (n_shards, M_pad) int32
 
     @classmethod
     def build(cls, store: ReadStore, table: FingerprintTable, mesh: Mesh,
@@ -78,25 +82,27 @@ class ShardedOverlapEngine:
         keys = np.full((n_shards, m_pad), np.uint64(0xFFFFFFFFFFFFFFFF))
         read = np.zeros((n_shards, m_pad), np.int32)
         orient = np.zeros((n_shards, m_pad), np.int32)
+        typ = np.zeros((n_shards, m_pad), np.int32)
         for s in range(n_shards):
             sel = owner == s
             m = int(sel.sum())
             keys[s, :m] = table.keys[sel]   # globally sorted => row sorted
             read[s, :m] = table.read[sel]
             orient[s, :m] = table.orient[sel]
+            typ[s, :m] = table.typ[sel]
         return cls(mesh=mesh, n_words=store.n_words, k=table.k,
                    hit_cap=hit_cap, route_cap=route_cap,
-                   keys=keys, read=read, orient=orient)
+                   keys=keys, read=read, orient=orient, typ=typ)
 
     # ------------------------------------------------------------------
     def _superstep(self, packed_all, lengths, qread, qj, qcode, marked,
-                   lkeys, lread, lorient):
-        """Per-shard body (runs under shard_map). Local outputs:
-        (verified_count (1,), overflow (1,), marked_union (1, N))."""
+                   lkeys, lread, lorient, ltyp):
+        """Per-shard body (runs under shard_map).  Local (per-shard query
+        slice) outputs: hit grids (Qs, H), overflow (1,), marked union."""
         n_shards = jax.lax.psum(1, AXIS)
-        k = self.k
         hit_cap = self.hit_cap
         route_cap = self.route_cap
+        q_local = qread.shape[0]
 
         # 1. union of marked bitmaps (replaces async gossip)
         marked_union = jax.lax.all_gather(marked, AXIS, tiled=True)
@@ -116,9 +122,11 @@ class ShardedOverlapEngine:
         hi = jnp.searchsorted(lkeys, flat_codes, side="right")
         tpos = lo[:, None] + jnp.arange(hit_cap, dtype=lo.dtype)[None, :]
         hit_valid = (tpos < hi[:, None]) & valid_in.reshape(-1)[:, None]
+        overflow = overflow + ((hi - lo) > hit_cap).sum()
         tpos = jnp.clip(tpos, 0, lkeys.shape[0] - 1)
         hit_read = jnp.where(hit_valid, lread[tpos], 0).astype(jnp.int32)
         hit_orient = jnp.where(hit_valid, lorient[tpos], 0).astype(jnp.int32)
+        hit_typ = jnp.where(hit_valid, ltyp[tpos], 0).astype(jnp.int32)
 
         # 4. answers ride back to the querying shard
         def back(x):
@@ -128,68 +136,61 @@ class ShardedOverlapEngine:
 
         hit_read = back(hit_read)
         hit_orient = back(hit_orient)
+        hit_typ = back(hit_typ)
         pair_valid = back(hit_valid)
 
-        # 5. verify returned candidates locally (edge check geometry,
-        #    reference: src/BuildGraph/src/OverlapGraph.cpp:567-595)
+        # 5. scatter answers back to per-query rows (the slot matrix is the
+        #    routing permutation)
         flat_slots = slots.reshape(-1)
-        q_idx = jnp.clip(flat_slots, 0)
-        r1 = qread[q_idx]
-        j = qj[q_idx]
-        len1 = lengths[r1]
-        pair_valid = pair_valid & (flat_slots >= 0)[:, None]
+        sel = flat_slots >= 0
+        # unused slots scatter to an out-of-bounds row (dropped) so they
+        # cannot clobber query row 0
+        src = jnp.where(sel, flat_slots, q_local)
+        r2 = jnp.zeros((q_local, hit_cap), jnp.int32)
+        orient = jnp.zeros((q_local, hit_cap), jnp.int32)
+        typ = jnp.zeros((q_local, hit_cap), jnp.int32)
+        valid = jnp.zeros((q_local, hit_cap), jnp.bool_)
+        r2 = r2.at[src].set(hit_read, mode="drop")
+        orient = orient.at[src].set(hit_orient, mode="drop")
+        typ = typ.at[src].set(hit_typ, mode="drop")
+        valid = valid.at[src].set(pair_valid, mode="drop")
 
-        r2 = hit_read
-        len2 = lengths[r2]
-        ho = hit_orient
-        suffix_case = (ho == 1) | (ho == 3)
-        use_rc = ho >= 2
-        n_reads = lengths.shape[0]
-
-        e_valid = jnp.where(suffix_case,
-                            j[:, None] <= len2 - k,
-                            (len1[:, None] - j[:, None]) < len2)
-        e_valid &= (j[:, None] >= 1) & (r1[:, None] != r2) & pair_valid
-        e_n = jnp.where(suffix_case, j[:, None] + k,
-                        len1[:, None] - j[:, None])
-        e_n = jnp.where(e_valid, e_n, 0).astype(jnp.int32)
-        e_o1 = jnp.where(suffix_case, 0, j[:, None]).astype(jnp.int32)
-        e_o2 = jnp.where(suffix_case, len2 - e_n, 0).astype(jnp.int32)
-        e_o2 = jnp.maximum(e_o2, 0)
-        rows1 = jnp.broadcast_to(r1[:, None].astype(jnp.int32), e_n.shape)
-        rows2 = (r2 + jnp.where(use_rc, n_reads, 0)).astype(jnp.int32)
-
-        ok = verify_windows(packed_all, rows1.ravel(), rows2.ravel(),
-                            e_o1.ravel(), e_o2.ravel(), e_n.ravel(),
-                            n_words=self.n_words)
-        verified = (ok & (e_n.ravel() > 0)).sum()
-        return (verified[None], overflow[None], marked_union[None, :])
+        # 6. verify locally (shared geometry, reference:
+        #    src/BuildGraph/src/OverlapGraph.cpp:517-595)
+        edge_ok, cont_ok = candidate_checks(
+            packed_all, lengths, qread, qj, r2, orient, valid,
+            k=self.k, n_words=self.n_words)
+        return (r2, orient, typ, edge_ok, cont_ok, overflow[None],
+                marked_union[None, :])
 
     def make_step(self):
         """Returns a jitted SPMD step over the mesh.
         step(packed_all, lengths, qread, qj, qcode, marked) ->
-          (per-shard verified counts (n_shards,), overflows (n_shards,),
-           marked unions (n_shards, N))."""
+          (r2, orient, typ, edge_ok, cont_ok) per-query grids (Q, H),
+          overflows (n_shards,), marked unions (n_shards, N)."""
         from jax.experimental.shard_map import shard_map
         mesh = self.mesh
         keys = jnp.asarray(self.keys)
         read = jnp.asarray(self.read)
         orient = jnp.asarray(self.orient)
+        typ = jnp.asarray(self.typ)
 
         def body(packed_all, lengths, qread, qj, qcode, marked,
-                 keys_s, read_s, orient_s):
+                 keys_s, read_s, orient_s, typ_s):
             return self._superstep(packed_all, lengths, qread, qj, qcode,
-                                   marked, keys_s[0], read_s[0], orient_s[0])
+                                   marked, keys_s[0], read_s[0], orient_s[0],
+                                   typ_s[0])
 
         fn = shard_map(
             body, mesh=mesh,
             in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                      P(AXIS), P(AXIS), P(AXIS)),
-            out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                      P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                       P(AXIS), P(AXIS)),
             check_rep=False)
 
         @jax.jit
         def run(packed_all, lengths, qread, qj, qcode, marked):
             return fn(packed_all, lengths, qread, qj, qcode, marked,
-                      keys, read, orient)
+                      keys, read, orient, typ)
         return run

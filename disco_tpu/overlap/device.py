@@ -45,6 +45,72 @@ class DeviceOverlapResult(NamedTuple):
     n_hits: jax.Array    # () int64 occupied candidate slots
 
 
+def candidate_checks(packed_all, lengths, qread, qj, r2, orient, valid,
+                     *, k, n_words):
+    """Shared geometry + verification for a (Q, H) candidate grid
+    (reference: OverlapGraph.cpp:517-595).  Returns (edge_ok, cont_ok).
+    Used by the single-chip pipeline below and the sharded superstep
+    (disco_tpu.dist.overlap_shard)."""
+    n_reads = lengths.shape[0]
+    wlim = packed_all.shape[1] - 1
+    len1 = lengths[qread][:, None]
+    len2 = lengths[r2]
+    j = qj[:, None]
+    suffix_case = _IS_SUFFIX[orient]
+    use_rc = _USE_RC[orient]
+
+    e_valid = jnp.where(suffix_case, j <= len2 - k, (len1 - j) < len2)
+    e_valid &= (j >= 1) & (qread[:, None] != r2) & valid
+    e_n = jnp.where(suffix_case, j + k, len1 - j).astype(jnp.int32)
+    e_n = jnp.where(e_valid, e_n, 0)
+    e_o1 = jnp.where(suffix_case, 0, j).astype(jnp.int32)
+    e_o2 = jnp.maximum(jnp.where(suffix_case, len2 - e_n, 0), 0)
+
+    c_valid = jnp.where(suffix_case, j >= len2 - k, j + len2 <= len1)
+    c_valid &= (qread[:, None] != r2) & valid
+    c_n = jnp.where(c_valid, len2, 0).astype(jnp.int32)
+    c_o1 = jnp.where(suffix_case, j + k - len2, j).astype(jnp.int32)
+    c_o1 = jnp.maximum(c_o1, 0)
+
+    rows1 = jnp.broadcast_to(qread[:, None], r2.shape)
+    rows2 = (r2 + jnp.where(use_rc, n_reads, 0)).astype(jnp.int32)
+
+    def check(o1, o2, nl):
+        bit1 = (2 * (o1 % 16)).astype(jnp.uint32)
+        bit2 = (2 * (o2 % 16)).astype(jnp.uint32)
+
+        def body(wi, ok):
+            rem = nl - 16 * wi
+            idx1 = jnp.minimum(o1 // 16 + wi, wlim)
+            a0 = packed_all[rows1, idx1]
+            a1 = packed_all[rows1, jnp.minimum(idx1 + 1, wlim)]
+            idx2 = jnp.minimum(o2 // 16 + wi, wlim)
+            b0 = packed_all[rows2, idx2]
+            b1 = packed_all[rows2, jnp.minimum(idx2 + 1, wlim)]
+            x = jnp.where(bit1 == 0, a0,
+                          (a0 << bit1) | ((a1 >> (jnp.uint32(31) - bit1))
+                                          >> jnp.uint32(1)))
+            y = jnp.where(bit2 == 0, b0,
+                          (b0 << bit2) | ((b1 >> (jnp.uint32(31) - bit2))
+                                          >> jnp.uint32(1)))
+            full = jnp.uint32(0xFFFFFFFF)
+            partial = full << (jnp.uint32(2) * (
+                jnp.uint32(16)
+                - jnp.clip(rem, 1, 16).astype(jnp.uint32)))
+            mask = jnp.where(rem >= 16, full,
+                             jnp.where(rem <= 0, jnp.uint32(0), partial))
+            return ok & (((x ^ y) & mask) == 0)
+
+        ok = jnp.ones(r2.shape, jnp.bool_)
+        for wi in range(n_words):
+            ok = body(wi, ok)
+        return ok
+
+    edge_ok = check(e_o1, e_o2, e_n) & e_valid
+    cont_ok = check(c_o1, jnp.zeros_like(c_o1), c_n) & c_valid
+    return edge_ok, cont_ok
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "n_words", "max_len", "hit_cap"))
 def device_overlap(packed, packed_all, lengths, starts, keys, tread, torient,
@@ -87,63 +153,8 @@ def device_overlap(packed, packed_all, lengths, starts, keys, tread, torient,
     orient = jnp.where(valid, torient[tpos], 0).astype(jnp.int32)
     typ = jnp.where(valid, ttyp[tpos], 0).astype(jnp.int32)
 
-    # ---- window geometry (reference: OverlapGraph.cpp:517-595) ---------
-    len1 = lengths[qread][:, None]
-    len2 = lengths[r2]
-    j = qj[:, None]
-    suffix_case = _IS_SUFFIX[orient]
-    use_rc = _USE_RC[orient]
-
-    e_valid = jnp.where(suffix_case, j <= len2 - k, (len1 - j) < len2)
-    e_valid &= (j >= 1) & (qread[:, None] != r2) & valid
-    e_n = jnp.where(suffix_case, j + k, len1 - j).astype(jnp.int32)
-    e_n = jnp.where(e_valid, e_n, 0)
-    e_o1 = jnp.where(suffix_case, 0, j).astype(jnp.int32)
-    e_o2 = jnp.maximum(jnp.where(suffix_case, len2 - e_n, 0), 0)
-
-    c_valid = jnp.where(suffix_case, j >= len2 - k, j + len2 <= len1)
-    c_valid &= (qread[:, None] != r2) & valid
-    c_n = jnp.where(c_valid, len2, 0).astype(jnp.int32)
-    c_o1 = jnp.where(suffix_case, j + k - len2, j).astype(jnp.int32)
-    c_o1 = jnp.maximum(c_o1, 0)
-
-    rows1 = jnp.broadcast_to(qread[:, None], r2.shape)
-    rows2 = (r2 + jnp.where(use_rc, n_reads, 0)).astype(jnp.int32)
-
-    def check(o1, o2, nl):
-        bit1 = (2 * (o1 % 16)).astype(jnp.uint32)
-        bit2 = (2 * (o2 % 16)).astype(jnp.uint32)
-
-        def body(wi, ok):
-            # fori_loop keeps one word in flight -> bounded HBM footprint
-            rem = nl - 16 * wi
-            idx1 = jnp.minimum(o1 // 16 + wi, wlim)
-            a0 = packed_all[rows1, idx1]
-            a1 = packed_all[rows1, jnp.minimum(idx1 + 1, wlim)]
-            idx2 = jnp.minimum(o2 // 16 + wi, wlim)
-            b0 = packed_all[rows2, idx2]
-            b1 = packed_all[rows2, jnp.minimum(idx2 + 1, wlim)]
-            x = jnp.where(bit1 == 0, a0,
-                          (a0 << bit1) | ((a1 >> (jnp.uint32(31) - bit1))
-                                          >> jnp.uint32(1)))
-            y = jnp.where(bit2 == 0, b0,
-                          (b0 << bit2) | ((b1 >> (jnp.uint32(31) - bit2))
-                                          >> jnp.uint32(1)))
-            full = jnp.uint32(0xFFFFFFFF)
-            partial = full << (jnp.uint32(2) * (
-                jnp.uint32(16)
-                - jnp.clip(rem, 1, 16).astype(jnp.uint32)))
-            mask = jnp.where(rem >= 16, full,
-                             jnp.where(rem <= 0, jnp.uint32(0), partial))
-            return ok & (((x ^ y) & mask) == 0)
-
-        ok = jnp.ones(r2.shape, jnp.bool_)
-        for wi in range(n_words):
-            ok = body(wi, ok)
-        return ok
-
-    edge_ok = check(e_o1, e_o2, e_n) & e_valid
-    cont_ok = check(c_o1, jnp.zeros_like(c_o1), c_n) & c_valid
+    edge_ok, cont_ok = candidate_checks(packed_all, lengths, qread, qj, r2,
+                                        orient, valid, k=k, n_words=n_words)
     n_hits = valid.sum()
     return DeviceOverlapResult(r2, orient, typ, edge_ok, cont_ok, overflow,
                                n_hits)

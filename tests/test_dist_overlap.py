@@ -41,7 +41,8 @@ def test_sharded_superstep_matches_host_relation():
     pad_m = (-len(marked)) % mesh.devices.size
     marked = np.pad(marked, (0, pad_m))
 
-    counts, overflow, unions = step(packed_all, lengths, qread, qj, qcode, marked)
+    r2, orient, typ, edge_ok, cont_ok, overflow, unions = step(
+        packed_all, lengths, qread, qj, qcode, marked)
     assert int(np.asarray(overflow).sum()) == 0
-    got = int(np.asarray(counts).sum())
+    got = int(np.asarray(edge_ok).sum())
     assert got == want, (got, want)
