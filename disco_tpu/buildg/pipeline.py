@@ -4,9 +4,15 @@ Parity mode writes files bit-identical to a single-threaded reference
 `buildG` run (reference: src/BuildGraph/src/main.cpp:24-73):
   <prefix>_ReadIDMap.txt, <prefix>_0_containedReads.txt,
   <prefix>_0_parGraph.txt, <prefix>_CheckpointInfo.txt
+
+Checkpoint/restart (reference: main.cpp:45-52,178-204): GC=Complete skips
+graph construction entirely; CCR=Complete reuses the contained-read file
+from the previous run instead of recomputing containment.
 """
 import os
 from typing import Optional, Sequence
+
+import numpy as np
 
 from ..index.table import FingerprintTable
 from ..io.readstore import ReadStore
@@ -14,30 +20,78 @@ from ..overlap.relation import compute_relation
 from . import replay
 
 
+def read_checkpoint_info(prefix: str):
+    """Returns (contained_read_complete, graph_complete)."""
+    ccr = gc = False
+    try:
+        with open(prefix + "_CheckpointInfo.txt") as f:
+            for line in f:
+                if "=" not in line:
+                    continue
+                name, _, val = line.strip().partition("=")
+                if name.strip() == "CCR" and val.strip() == "Complete":
+                    ccr = True
+                if name.strip() == "GC" and val.strip() == "Complete":
+                    gc = True
+    except OSError:
+        pass
+    return ccr, gc
+
+
+def load_contained_reads(path: str, store: ReadStore) -> np.ndarray:
+    """Rebuild the superread table from an existing _containedReads.txt
+    (reference restart path: src/BuildGraph/src/OverlapGraph.cpp:336-377 —
+    decuple file indices map back to read IDs via the fileIndex map)."""
+    rid_of_fidx = {int(f): i + 1 for i, f in enumerate(store.file_index)}
+    superread = np.zeros(store.n_reads + 1, np.int64)
+    with open(path) as f:
+        for line in f:
+            toks = line.split("\t")
+            if len(toks) < 2:
+                continue
+            contained = rid_of_fidx.get(int(toks[0]))
+            containing = rid_of_fidx.get(int(toks[1]))
+            if contained and containing:
+                superread[contained] = containing
+    return superread
+
+
 def run_buildg(paired_files: Sequence[str], single_files: Sequence[str],
                prefix: str, min_overlap: int = 30,
                write_par_graph_size: int = 1000,
                store: Optional[ReadStore] = None):
     """Full graph-construction phase. Returns (store, relation, superread)."""
+    ccr_done, gc_done = read_checkpoint_info(prefix)
+    if gc_done:
+        return None, None, None
+
     if store is None:
         store = ReadStore.from_files(paired_files, single_files, min_overlap,
                                      id_map_path=prefix + "_ReadIDMap.txt")
     table = FingerprintTable.build(store, min_overlap - 1)
     rel = compute_relation(store, table)
 
-    superread, cont_lines = replay.containment_replay(rel, store)
+    cont_path = prefix + "_0_containedReads.txt"
+    if ccr_done and os.path.exists(cont_path):
+        superread = load_contained_reads(cont_path, store)
+    else:
+        superread, cont_lines = replay.containment_replay(rel, store)
+        with open(cont_path, "w") as f:
+            for ln in cont_lines:
+                f.write(ln + "\n")
+        # reference: OverlapGraph.cpp:486-493 — CCR checkpoint after the
+        # contained-read phase
+        with open(prefix + "_CheckpointInfo.txt", "w") as f:
+            f.write("CCR=Complete\n")
+
     par_lines = replay.build_graph_replay(rel, store, superread,
                                           write_par_graph_size)
-
-    with open(prefix + "_0_containedReads.txt", "w") as f:
-        for ln in cont_lines:
-            f.write(ln + "\n")
     with open(prefix + "_0_parGraph.txt", "w") as f:
         for ln in par_lines:
             f.write(ln + "\n")
-    # reference: OverlapGraph.cpp:486-493 + main.cpp:63-70
-    with open(prefix + "_CheckpointInfo.txt", "w") as f:
-        f.write("CCR=Complete\nGC=Complete\n")
+    # reference: main.cpp:63-70 appends GC=Complete
+    with open(prefix + "_CheckpointInfo.txt", "a") as f:
+        f.write("GC=Complete\n")
     # reference writes an (empty after completion) per-thread start-read file
     with open(prefix + "_0_startRead.txt", "w") as f:
         pass
