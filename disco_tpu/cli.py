@@ -82,6 +82,52 @@ def cmd_assemble(args) -> int:
     return 0
 
 
+def cmd_buildg(args) -> int:
+    """`buildG` executable equivalent (reference CLI:
+    src/BuildGraph/src/main.cpp:95-148 — -pe/-se comma lists, -f prefix,
+    -p cfg with MinOverlap4BuildGraph, -w chunk size; -t/-m accepted for
+    compatibility, scheduling is device-driven here)."""
+    from .buildg.pipeline import run_buildg
+
+    paired = args.pe.split(",") if args.pe else []
+    single = args.se.split(",") if args.se else []
+    if not (paired or single):
+        print("buildg: no input files (-pe/-se)", file=sys.stderr)
+        return 1
+    min_ovl = _cfg_min_overlap(args.p) if args.p else args.m_ovl
+    run_buildg(paired, single, args.f, min_overlap=min_ovl,
+               write_par_graph_size=args.w)
+    return 0
+
+
+def cmd_simplify(args) -> int:
+    """`fullsimplify` executable equivalent (reference CLI:
+    src/SimplifyGraph/src/Config.cpp:198-288)."""
+    from .simplify.driver import run_fullsimplify
+    from .utils.logging import set_level
+
+    if args.log:
+        set_level(args.log)
+    run_fullsimplify(
+        args.fs.split(",") if args.fs else [],
+        args.fp.split(",") if args.fp else [],
+        args.fpi.split(",") if args.fpi else [],
+        args.e.split(",") if args.e else [],
+        args.crd.split(",") if args.crd else [],
+        args.o,
+        param_files=[p for p in (args.p, args.p2, args.p3) if p] or None)
+    return 0
+
+
+def cmd_parsimplify(args) -> int:
+    """`parsimplify` executable equivalent (reference CLI:
+    src/SimplifyGraph/src/mainParSimplify.cpp:13-17 — positional
+    edgeFile outFile minOvl threads)."""
+    from .simplify.pargraph import parsimplify
+    parsimplify(args.edge_file, args.out_file, args.min_ovl, args.threads)
+    return 0
+
+
 def cmd_stats(args) -> int:
     from .utils.stats import assembly_stats, format_stats
     st = assembly_stats(args.fasta, min_len=args.min_len)
@@ -113,6 +159,44 @@ def main(argv=None) -> int:
                    help="nuke previous assembly dir and re-simplify")
     a.add_argument("--write-par-graph-size", type=int, default=1000)
     a.set_defaults(fn=cmd_assemble)
+
+    b = sub.add_parser("buildg", help="graph construction (buildG)")
+    b.add_argument("-pe", help="paired-end file(s), comma-sep")
+    b.add_argument("-se", help="single-end file(s), comma-sep")
+    b.add_argument("-f", required=True, help="output file prefix")
+    b.add_argument("-p", help="parameter cfg (MinOverlap4BuildGraph)")
+    b.add_argument("-m-ovl", dest="m_ovl", type=int, default=30,
+                   help="min overlap if no cfg")
+    b.add_argument("-t", type=int, default=0, help="accepted, unused")
+    b.add_argument("-m", type=int, default=0,
+                   help="max memory GB (accepted, unused)")
+    b.add_argument("-w", type=int, default=1000,
+                   help="par-graph chunk size (writeParGraphSize)")
+    b.set_defaults(fn=cmd_buildg)
+
+    fsim = sub.add_parser("simplify",
+                          help="graph simplification (fullsimplify)")
+    fsim.add_argument("-fs", help="single read file(s), comma-sep")
+    fsim.add_argument("-fp", help="separated paired read file(s), comma-sep")
+    fsim.add_argument("-fpi", help="interleaved paired file(s), comma-sep")
+    fsim.add_argument("-e", help="edge file(s), comma-sep")
+    fsim.add_argument("-crd", help="contained-read file(s), comma-sep")
+    fsim.add_argument("-o", required=True, help="output prefix")
+    fsim.add_argument("-p", help="parameter cfg (iteration 1)")
+    fsim.add_argument("-p2", help="parameter cfg (iteration 2)")
+    fsim.add_argument("-p3", help="parameter cfg (iteration 3)")
+    fsim.add_argument("-simPth", help="accepted, unused (in-process)")
+    fsim.add_argument("-t", type=int, default=0, help="accepted, unused")
+    fsim.add_argument("-log", help="log level (ERROR..DEBUG4)")
+    fsim.set_defaults(fn=cmd_simplify)
+
+    ps = sub.add_parser("parsimplify",
+                        help="partial-graph simplification (parsimplify)")
+    ps.add_argument("edge_file")
+    ps.add_argument("out_file")
+    ps.add_argument("min_ovl", type=int)
+    ps.add_argument("threads", type=int, nargs="?", default=1)
+    ps.set_defaults(fn=cmd_parsimplify)
 
     s = sub.add_parser("stats", help="assembly N50/size statistics")
     s.add_argument("fasta")

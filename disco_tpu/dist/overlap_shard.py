@@ -168,7 +168,6 @@ class ShardedOverlapEngine:
         step(packed_all, lengths, qread, qj, qcode, marked) ->
           (r2, orient, typ, edge_ok, cont_ok) per-query grids (Q, H),
           overflows (n_shards,), marked unions (n_shards, N)."""
-        from jax.experimental.shard_map import shard_map
         mesh = self.mesh
         keys = jnp.asarray(self.keys)
         read = jnp.asarray(self.read)
@@ -181,13 +180,13 @@ class ShardedOverlapEngine:
                                    marked, keys_s[0], read_s[0], orient_s[0],
                                    typ_s[0])
 
-        fn = shard_map(
+        fn = jax.shard_map(
             body, mesh=mesh,
             in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                       P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
             out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                        P(AXIS), P(AXIS)),
-            check_rep=False)
+            check_vma=False)
 
         @jax.jit
         def run(packed_all, lengths, qread, qj, qcode, marked):

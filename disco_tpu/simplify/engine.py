@@ -398,6 +398,38 @@ class FullGraph:
                     i += 1
         return counter
 
+    # ------------------------------------------------------------------
+    # parallel edges (reference: removeParallelEdges, :1611-1648 — present
+    # in the reference but not invoked by its main flow, main.cpp:176)
+    # ------------------------------------------------------------------
+    def remove_parallel_edges(self) -> int:
+        """For every pair of edges at a node sharing a destination
+        (orientation ignored), remove the shorter (reference keeps the
+        edge with >= edgeLength, :1630-1633).  The reference can push the
+        same pointer twice with >=3 parallel edges and would double-remove;
+        we skip edges already scheduled."""
+        removed = 0
+        for k in self.g:
+            lst = self.g.at(k)
+            parallel: List[Edge] = []
+            for j in range(len(lst)):
+                ej = lst[j]
+                for kk in range(j + 1, len(lst)):
+                    ek = lst[kk]
+                    if ej.dst == ek.dst:
+                        loser = ek if (ej.edge_length()
+                                       >= ek.edge_length()) else ej
+                        if not loser.invalid:
+                            loser.invalid = True
+                            parallel.append(loser)
+            for e in parallel:
+                e.invalid = False
+                lst_now = self.g.get(e.src)
+                if lst_now and any(x is e for x in lst_now):
+                    self.remove_edge(e)
+                    removed += 1
+        return removed
+
     def _cov_depth(self, e: Edge) -> float:
         """Mean base-by-base coverage (reference:
         Edge::updateBaseByBaseCoverageStat, Edge.cpp:259-290).  Sequential
