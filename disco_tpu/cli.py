@@ -115,7 +115,8 @@ def cmd_simplify(args) -> int:
         args.e.split(",") if args.e else [],
         args.crd.split(",") if args.crd else [],
         args.o,
-        param_files=[p for p in (args.p, args.p2, args.p3) if p] or None)
+        param_files=[p for p in (args.p, args.p2, args.p3) if p] or None,
+        sim_path=args.simPth)
     return 0
 
 
@@ -185,7 +186,9 @@ def main(argv=None) -> int:
     fsim.add_argument("-p", help="parameter cfg (iteration 1)")
     fsim.add_argument("-p2", help="parameter cfg (iteration 2)")
     fsim.add_argument("-p3", help="parameter cfg (iteration 3)")
-    fsim.add_argument("-simPth", help="accepted, unused (in-process)")
+    fsim.add_argument("-simPth",
+                      help="dir with test/<thresh>.txt post-processing "
+                           "tables (parsimplify runs in-process)")
     fsim.add_argument("-t", type=int, default=0, help="accepted, unused")
     fsim.add_argument("-log", help="log level (ERROR..DEBUG4)")
     fsim.set_defaults(fn=cmd_simplify)

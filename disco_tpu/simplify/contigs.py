@@ -204,7 +204,10 @@ def stream_contigs_thresh(graph: FullGraph, single_files: List[str],
                 printed += 1
                 _print_edge_with_reads(graph, e, ef, uf, printed)
                 _print_edge_coverage(graph, e, cf, printed)
-                cov_vals.append(graph._cov_depth(e))
+                # reference: vector<UINT64> covVals (:2422) truncates the
+                # float cov depth; updateBaseByBaseCoverageStat runs AFTER
+                # printEdgeCoverage so the header uses the same value
+                cov_vals.append(int(graph._cov_depth(e)))
                 contig_strs.append(s)
                 total_len += len(s)
 
@@ -311,9 +314,9 @@ def stream_contigs_thresh(graph: FullGraph, single_files: List[str],
     final.sort(key=len, reverse=True)
     with open(contig_file, "w") as ctg:
         for ci, s in enumerate(final):
-            cov = cov_vals[ci] if ci < len(cov_vals) else 0.0
+            cov = cov_vals[ci] if ci < len(cov_vals) else 0
             ctg.write(f">{name_prefix}_{ci + 1:010d}"
-                      f" Coverage: {_fmt_float(cov)}"
+                      f" Coverage: {cov}"
                       f" Length: {len(s)}\n")
             s = s.replace("J", "N")
             start = 0

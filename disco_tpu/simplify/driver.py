@@ -19,12 +19,15 @@ def run_fullsimplify(single_files: List[str], pair_files: List[str],
                      inter_pair_files: List[str], edge_files: List[str],
                      contained_files: List[str], prefix: str,
                      param_files: Optional[List[str]] = None,
-                     max_iters: int = 3) -> SimplifyDataset:
+                     max_iters: int = 3,
+                     sim_path: Optional[str] = None) -> SimplifyDataset:
     """Equivalent of `fullsimplify -fs/-fp/-fpi ... -e ... -crd ... -o ...`.
 
     param_files: up to three cfg paths (iteration 1..3); missing entries
     reuse the defaults-only state like the reference would fail — pass all
     three for parity runs.
+    sim_path: `-simPth` — directory whose test/<thresh>.txt tables feed the
+    benchmark-specific contig post-processing (streamContigsThresh).
     """
     dataset = SimplifyDataset(single_files, pair_files, inter_pair_files)
     dataset.store_contained_read_info(contained_files)
@@ -50,7 +53,8 @@ def run_fullsimplify(single_files: List[str], pair_files: List[str],
                                    iteration, checkpoint,
                                    single_files, pair_files,
                                    inter_pair_files, ctg_count, scf_count,
-                                   phase_done[iteration - 1])
+                                   phase_done[iteration - 1],
+                                   sim_path=sim_path)
         ctg_count = cont["ctg_count"]
         scf_count = cont["scf_count"]
         if not cont["continue"]:
@@ -152,7 +156,8 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
                         checkpoint, single_files, pair_files,
                         inter_pair_files, ctg_count: int = 0,
                         scf_count: int = 0,
-                        phase_done: Optional[List[int]] = None) -> dict:
+                        phase_done: Optional[List[int]] = None,
+                        sim_path: Optional[str] = None) -> dict:
     if phase_done is None:
         phase_done = [0] * 7
     checkpoint(f"Iteration={iteration}")
@@ -226,15 +231,18 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
         size = dataset.size()
         use_thresh = (size in _contigs.REF_THRESH
                       or size // 1_000_000 in _contigs.REF_THRESH)
-        stream = (_contigs.stream_contigs_thresh if use_thresh
-                  else _contigs.stream_contigs)
-        ctg_count = stream(
+        out_args = (
             graph, single_files, pair_files, inter_pair_files,
             f"{prefix}_contigsFinal_{iteration}.fasta",
             f"{prefix}_contigEdgesFinal_{iteration}.txt",
             f"{prefix}_contigEdgeCoverageFinal_{iteration}.txt",
             f"{prefix}_UsedReads_{iteration}.txt",
             "contig", ctg_count)
+        if use_thresh:
+            ctg_count = _contigs.stream_contigs_thresh(
+                *out_args, sim_path=sim_path)
+        else:
+            ctg_count = _contigs.stream_contigs(*out_args)
         graph.print_all_edges(f"{prefix}_phase_printctg_{iteration}.txt")
         graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
         checkpoint(f"PrintCtg={ctg_count}")
