@@ -13,15 +13,19 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
-def _build_and_load() -> ctypes.CDLL:
-    src = _DIR / "refsort.cpp"
-    so = _DIR / "_refsort.so"
+def _compile(name: str, opt: str = "-O2") -> ctypes.CDLL:
+    src = _DIR / f"{name}.cpp"
+    so = _DIR / f"_{name}.so"
     if (not so.exists()) or so.stat().st_mtime < src.stat().st_mtime:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+            ["g++", opt, "-shared", "-fPIC", "-std=c++17",
              "-o", str(so), str(src)],
             check=True)
-    lib = ctypes.CDLL(str(so))
+    return ctypes.CDLL(str(so))
+
+
+def _build_and_load() -> ctypes.CDLL:
+    lib = _compile("refsort")
     for name, ktype in (("stdsort_by_key_u64", ctypes.c_uint64),
                         ("stdsort_by_key_i64", ctypes.c_int64),
                         ("stdsort_by_key_i64_desc", ctypes.c_int64)):
@@ -59,4 +63,40 @@ def stdsort_permutation(keys, descending: bool = False) -> np.ndarray:
         fn = (lib.stdsort_by_key_i64_desc if descending
               else lib.stdsort_by_key_i64)
     fn(kp, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Min-cost flow (CS2 replacement; see mcmf.cpp header)
+# ---------------------------------------------------------------------------
+_MCMF = None
+
+
+def _mcmf_lib():
+    global _MCMF
+    with _LOCK:
+        if _MCMF is None:
+            lib = _compile("mcmf", opt="-O3")
+            p64 = ctypes.POINTER(ctypes.c_int64)
+            lib.mcmf_solve.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                       p64, p64, p64, p64, p64, p64]
+            lib.mcmf_solve.restype = ctypes.c_int64
+            _MCMF = lib
+    return _MCMF
+
+
+def mcmf_solve(v_nodes: int, tail, head, lb, ub, cost) -> np.ndarray:
+    """Solve min-cost flow with per-arc lower bounds (ub<0 = infinite).
+    Returns the per-arc flow vector; raises on infeasibility."""
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    arrs = [np.ascontiguousarray(a, np.int64)
+            for a in (tail, head, lb, ub, cost)]
+    n_arcs = len(arrs[0])
+    out = np.empty(n_arcs, np.int64)
+    lib = _mcmf_lib()
+    rc = lib.mcmf_solve(v_nodes, n_arcs,
+                        *(a.ctypes.data_as(p64) for a in arrs),
+                        out.ctypes.data_as(p64))
+    if rc != 0:
+        raise RuntimeError("infeasible flow problem")
     return out

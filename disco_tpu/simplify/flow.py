@@ -148,7 +148,30 @@ class _Net:
 
 
 def solve_flow(fp: FlowProblem) -> List[int]:
-    """Return flow per arc (same order as fp.arcs)."""
+    """Return flow per arc (same order as fp.arcs).
+
+    Dispatches to the native C++ solver (disco_tpu/native/mcmf.cpp, an
+    exact operation-order port of _solve_flow_py below — both produce the
+    same per-arc vector); set DISCO_TPU_NO_NATIVE=1 to force the Python
+    path."""
+    import os
+    import subprocess
+
+    if fp.arcs and not os.environ.get("DISCO_TPU_NO_NATIVE"):
+        import numpy as np
+
+        from ..native import mcmf_solve
+        cols = list(zip(*fp.arcs))
+        tail, head, lb, ub, cost = (np.array(c, np.int64) for c in cols)
+        try:
+            return mcmf_solve(fp.v, tail, head, lb, ub, cost).tolist()
+        except (OSError, subprocess.CalledProcessError):
+            pass  # toolchain unavailable: pure-Python solver
+    return _solve_flow_py(fp)
+
+
+def _solve_flow_py(fp: FlowProblem) -> List[int]:
+    """Pure-Python reference implementation of solve_flow."""
     import heapq
 
     V = fp.v
