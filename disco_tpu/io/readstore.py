@@ -17,7 +17,11 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..utils import dna
+from .. import native
 from . import fasta, readqc
+
+__all__ = ["ReadStore"]
+assert readqc  # Python QC kept as the parity oracle for the native path
 
 
 @dataclass
@@ -62,18 +66,27 @@ class ReadStore:
                 for seq in fasta.read_records(path):
                     file_index += 1
                     recs.append((file_index, seq))
+                # batched native QC over the whole file (one call, OMP inside)
+                blob = "".join(seq for _, seq in recs).encode()
+                offs = np.zeros(len(recs) + 1, np.int64)
+                np.cumsum([len(seq) for _, seq in recs], out=offs[1:])
+                keep = native.qc_test_reads(blob, offs, min_overlap)
                 bs = cls.READ_TASK_BLOCK + 1
                 blocks = [recs[s:s + bs] for s in range(0, len(recs), bs)]
+                keep_blocks = [keep[s:s + bs] for s in range(0, len(recs), bs)]
                 if reference_task_order and blocks:
                     if len(blocks[-1]) == bs:
                         order = blocks[::-1]
+                        keep_order = keep_blocks[::-1]
                     else:
                         order = blocks[-2::-1] + [blocks[-1]]
+                        keep_order = keep_blocks[-2::-1] + [keep_blocks[-1]]
                 else:
                     order = blocks
-                for block in order:
-                    for fi, seq in block:
-                        if readqc.test_read(seq, min_overlap):
+                    keep_order = keep_blocks
+                for block, kb in zip(order, keep_order):
+                    for (fi, seq), ok in zip(block, kb):
+                        if ok:
                             seqs.append(seq)
                             findx.append(fi)
                 if len(seqs) == start_id:
@@ -102,18 +115,10 @@ class ReadStore:
         lengths = np.asarray([len(s) for s in seqs], np.int32)
         max_len = int(lengths.max())
         n_words = (max_len + dna.BASES_PER_WORD - 1) // dna.BASES_PER_WORD
-        codes = np.zeros((n, max_len), np.uint8)
-        codes_rc = np.zeros((n, max_len), np.uint8)
-        for i, s in enumerate(seqs):
-            c = dna.encode(s)
-            if (c == 255).any():
-                raise ValueError(f"non-ACGT base in read {i+1}")
-            codes[i, :len(s)] = c
-            codes_rc[i, :len(s)] = (3 - c)[::-1]
-        packed = np.zeros((n, n_words + 1), np.uint32)
-        packed_rc = np.zeros((n, n_words + 1), np.uint32)
-        packed[:, :n_words] = dna.pack_codes(codes, n_words)
-        packed_rc[:, :n_words] = dna.pack_codes(codes_rc, n_words)
+        blob = "".join(seqs).encode()
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lengths, out=offs[1:])
+        packed, packed_rc = native.pack_reads(blob, offs, n_words)
         if file_index is None:
             file_index = np.arange(1, n + 1, dtype=np.int64)
         return cls(n_reads=n, max_len=max_len, n_words=n_words,

@@ -13,12 +13,12 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
-def _compile(name: str, opt: str = "-O2") -> ctypes.CDLL:
+def _compile(name: str, opt: str = "-O2", extra=()) -> ctypes.CDLL:
     src = _DIR / f"{name}.cpp"
     so = _DIR / f"_{name}.so"
     if (not so.exists()) or so.stat().st_mtime < src.stat().st_mtime:
         subprocess.run(
-            ["g++", opt, "-shared", "-fPIC", "-std=c++17",
+            ["g++", opt, "-shared", "-fPIC", "-std=c++17", *extra,
              "-o", str(so), str(src)],
             check=True)
     return ctypes.CDLL(str(so))
@@ -83,6 +83,63 @@ def _mcmf_lib():
             lib.mcmf_solve.restype = ctypes.c_int64
             _MCMF = lib
     return _MCMF
+
+
+# ---------------------------------------------------------------------------
+# Read QC + 2-bit packing (hot host ingest path; see readqc.cpp header)
+# ---------------------------------------------------------------------------
+_READQC = None
+
+
+def _readqc_lib():
+    global _READQC
+    with _LOCK:
+        if _READQC is None:
+            lib = _compile("readqc", opt="-O3", extra=("-fopenmp",))
+            p64 = ctypes.POINTER(ctypes.c_int64)
+            pu32 = ctypes.POINTER(ctypes.c_uint32)
+            lib.qc_test_reads.argtypes = [
+                ctypes.c_char_p, p64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8)]
+            lib.qc_test_reads.restype = None
+            lib.pack_reads.argtypes = [
+                ctypes.c_char_p, p64, ctypes.c_int64, ctypes.c_int64,
+                pu32, pu32]
+            lib.pack_reads.restype = ctypes.c_int64
+            _READQC = lib
+    return _READQC
+
+
+def qc_test_reads(blob: bytes, offsets: np.ndarray,
+                  min_overlap: int) -> np.ndarray:
+    """Vectorized Dataset::testRead over reads concatenated in `blob` with
+    n+1 boundary `offsets`. Returns a (n,) bool keep-mask."""
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    n = len(offsets) - 1
+    out = np.empty(n, np.uint8)
+    lib = _readqc_lib()
+    lib.qc_test_reads(blob, offsets.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_int64)), n, min_overlap,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out.astype(bool)
+
+
+def pack_reads(blob: bytes, offsets: np.ndarray, n_words: int):
+    """2-bit pack reads (forward + reverse complement) into
+    (n, n_words+1) uint32 rows with one zero pad word each.
+    Raises ValueError on a non-ACGT base."""
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    n = len(offsets) - 1
+    packed = np.empty((n, n_words + 1), np.uint32)
+    packed_rc = np.empty((n, n_words + 1), np.uint32)
+    lib = _readqc_lib()
+    pu32 = ctypes.POINTER(ctypes.c_uint32)
+    bad = lib.pack_reads(blob, offsets.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_int64)), n, n_words,
+        packed.ctypes.data_as(pu32), packed_rc.ctypes.data_as(pu32))
+    if bad >= 0:
+        raise ValueError(f"non-ACGT base in read {bad + 1}")
+    return packed, packed_rc
 
 
 def mcmf_solve(v_nodes: int, tail, head, lb, ub, cost) -> np.ndarray:

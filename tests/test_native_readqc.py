@@ -1,0 +1,84 @@
+"""Native readqc.cpp parity vs the Python oracle (disco_tpu/io/readqc.py,
+itself a port of the reference's Dataset::testRead,
+reference: src/BuildGraph/src/Dataset.cpp:403-451) and native 2-bit packing
+vs disco_tpu/utils/dna.py::pack_codes."""
+import random
+
+import numpy as np
+import pytest
+
+from disco_tpu import native
+from disco_tpu.io import readqc
+from disco_tpu.utils import dna
+
+
+def _blob(seqs):
+    offs = np.zeros(len(seqs) + 1, np.int64)
+    np.cumsum([len(s) for s in seqs], out=offs[1:])
+    return "".join(seqs).encode(), offs
+
+
+def _adversarial_reads():
+    rng = random.Random(7)
+    reads = []
+    # random reads of varied length, including below MIN_READ_SIZE and <= minOvl
+    for n in (10, 29, 30, 31, 39, 40, 41, 60, 100, 250):
+        for _ in range(20):
+            reads.append("".join(rng.choice("ACGT") for _ in range(n)))
+    # non-ACGT
+    reads.append("ACGTN" + "ACGT" * 20)
+    reads.append("acgt" + "ACGT" * 20)  # lower case is non-ACGT at QC level
+    # 70% single base
+    reads.append("A" * 70 + "CGT" * 10)
+    reads.append("A" * 69 + "CGT" * 11)
+    # micro-repeat prefixes/suffixes
+    for fs in readqc.FILTER_STRINGS[::5]:
+        reads.append(fs + "GATTACAGATTACAGATTACA")
+        reads.append("GATTACAGATTACAGATTACA" + fs)
+    # dimer/trimer saturation
+    reads.append("AC" * 25)
+    reads.append("ACG" * 20 + "AT" * 15)
+    reads.append("GGGGCC" * 8 + "ATCGATCG")
+    return reads
+
+
+def test_qc_parity():
+    reads = _adversarial_reads()
+    blob, offs = _blob(reads)
+    for min_ovl in (30, 40):
+        got = native.qc_test_reads(blob, offs, min_ovl)
+        want = np.array([readqc.test_read(r, min_ovl) for r in reads])
+        assert (got == want).all(), [
+            (r, bool(g), bool(w)) for r, g, w in zip(reads, got, want)
+            if g != w]
+    # make sure the fixture exercises both outcomes
+    assert want.any() and (~want).any()
+
+
+def test_pack_parity():
+    rng = random.Random(3)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(rng.randrange(30, 120)))
+            for _ in range(50)]
+    lengths = np.array([len(s) for s in seqs])
+    max_len = int(lengths.max())
+    n_words = (max_len + dna.BASES_PER_WORD - 1) // dna.BASES_PER_WORD
+    blob, offs = _blob(seqs)
+    packed, packed_rc = native.pack_reads(blob, offs, n_words)
+    assert packed.shape == (len(seqs), n_words + 1)
+    codes = np.zeros((len(seqs), max_len), np.uint8)
+    codes_rc = np.zeros((len(seqs), max_len), np.uint8)
+    for i, s in enumerate(seqs):
+        c = dna.encode(s)
+        codes[i, :len(s)] = c
+        codes_rc[i, :len(s)] = (3 - c)[::-1]
+    assert (packed[:, :n_words] == dna.pack_codes(codes, n_words)).all()
+    assert (packed[:, n_words] == 0).all()
+    assert (packed_rc[:, :n_words] == dna.pack_codes(codes_rc, n_words)).all()
+    assert (packed_rc[:, n_words] == 0).all()
+
+
+def test_pack_rejects_non_acgt():
+    seqs = ["ACGT" * 10, "ACGTN" + "A" * 35]
+    blob, offs = _blob(seqs)
+    with pytest.raises(ValueError, match="read 2"):
+        native.pack_reads(blob, offs, 3)
