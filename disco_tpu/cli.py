@@ -130,9 +130,25 @@ def cmd_parsimplify(args) -> int:
 
 
 def cmd_stats(args) -> int:
-    from .utils.stats import assembly_stats, format_stats
-    st = assembly_stats(args.fasta, min_len=args.min_len)
-    print(format_stats(st))
+    """`assemblyStats.py` equivalent. With --mode, writes the reference's
+    <base>.stat.txt (+ .filtered.fasta under cutoffs,
+    reference: assemblyStats.py:27-35,202-470); without, prints a summary."""
+    from .utils.stats import (assembly_stats, denovo_stat_file, format_stats,
+                              mapped_stat_file)
+    if args.mode == "denovo":
+        path = denovo_stat_file(args.fasta, min_len=args.min_len)
+        print(path)
+    elif args.mode == "mapped":
+        if not args.ref:
+            print("stats mapped: -r reference fasta required",
+                  file=sys.stderr)
+            return 1
+        path = mapped_stat_file(args.fasta, args.ref, min_len=args.min_len,
+                                map_quality=args.q)
+        print(path)
+    else:
+        st = assembly_stats(args.fasta, min_len=args.min_len)
+        print(format_stats(st))
     return 0
 
 
@@ -201,9 +217,16 @@ def main(argv=None) -> int:
     ps.add_argument("threads", type=int, nargs="?", default=1)
     ps.set_defaults(fn=cmd_parsimplify)
 
-    s = sub.add_parser("stats", help="assembly N50/size statistics")
+    s = sub.add_parser("stats", help="assembly N50/size statistics "
+                                     "(assemblyStats.py equivalent)")
+    s.add_argument("mode", nargs="?", choices=["denovo", "mapped"],
+                   help="write <base>.stat.txt like the reference; "
+                        "omit for a quick summary to stdout")
     s.add_argument("fasta")
-    s.add_argument("--min-len", type=int, default=0)
+    s.add_argument("-r", "--ref", help="reference fasta (mapped mode)")
+    s.add_argument("-q", type=float, default=0.0,
+                   help="min mapping rate 1-(edit/mapped) (mapped mode)")
+    s.add_argument("-m", "--min-len", type=int, default=0)
     s.set_defaults(fn=cmd_stats)
 
     args = ap.parse_args(argv)
