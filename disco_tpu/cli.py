@@ -30,6 +30,21 @@ def _cfg_min_overlap(path: str, default: int = 30) -> int:
     return default
 
 
+def _mesh(n: int):
+    """n-device 1D mesh for the distributed builder (runDisco-MPI's -n,
+    reference: runDisco-MPI.sh:214 `mpirun -np N`)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if len(devs) < n:
+        raise SystemExit(
+            f"-n {n}: only {len(devs)} devices visible. For CPU testing set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} "
+            "JAX_PLATFORMS=cpu.")
+    return Mesh(np.array(devs[:n]), ("dp",))
+
+
 def cmd_assemble(args) -> int:
     from .buildg.pipeline import run_buildg
     from .simplify.driver import run_fullsimplify
@@ -45,6 +60,21 @@ def cmd_assemble(args) -> int:
         return 1
 
     out = args.d
+    if args.ecc:
+        # preprocessing layer (runAssembly.sh:195-430): BBTools trim/filter/
+        # error-correct, then assemble the corrected reads
+        from .preprocess import run_preprocess
+        if not args.bbmap:
+            print("assemble -ecc: -bbmap <BBTools dir> required",
+                  file=sys.stderr)
+            return 1
+        ecc_dir = os.path.join(out, "ecc")
+        paired, singles = run_preprocess(
+            args.bbmap, ecc_dir,
+            in1=[args.in1] if args.in1 else [],
+            in2=[args.in2] if args.in2 else [],
+            inP=inter_files, inS=single_files, threads=args.n or None)
+        pair_files, inter_files, single_files = [], paired, singles
     os.makedirs(os.path.join(out, "graph"), exist_ok=True)
     asm_dir = os.path.join(out, "assembly")
     if os.path.isdir(asm_dir) and args.resimp:
@@ -59,9 +89,19 @@ def cmd_assemble(args) -> int:
     # singles are single (reference: runDisco.sh:195-257)
     if not args.osg:
         buildg_paired = inter_files + pair_files
-        run_buildg(buildg_paired, single_files, graph_prefix,
-                   min_overlap=min_ovl,
-                   write_par_graph_size=args.write_par_graph_size)
+        if args.n and args.n > 1:
+            # distributed graph construction over an n-device mesh
+            # (buildG-MPI / buildG-MPIRMA equivalent; -rma is accepted for
+            # runDisco-MPI.sh parity — both reference modes map to the one
+            # deterministic sharded engine, docs/MULTIHOST.md)
+            from .dist.builder import run_buildg_sharded
+            run_buildg_sharded(buildg_paired, single_files, graph_prefix,
+                               _mesh(args.n), min_overlap=min_ovl,
+                               write_par_graph_size=args.write_par_graph_size)
+        else:
+            run_buildg(buildg_paired, single_files, graph_prefix,
+                       min_overlap=min_ovl,
+                       write_par_graph_size=args.write_par_graph_size)
 
     if not args.obg:
         edge_files = sorted(glob.glob(graph_prefix + "_*_parGraph.txt"))
@@ -95,8 +135,32 @@ def cmd_buildg(args) -> int:
         print("buildg: no input files (-pe/-se)", file=sys.stderr)
         return 1
     min_ovl = _cfg_min_overlap(args.p) if args.p else args.m_ovl
-    run_buildg(paired, single, args.f, min_overlap=min_ovl,
-               write_par_graph_size=args.w)
+    if args.n and args.n > 1:
+        from .dist.builder import run_buildg_sharded
+        run_buildg_sharded(paired, single, args.f, _mesh(args.n),
+                           min_overlap=min_ovl, write_par_graph_size=args.w)
+    else:
+        run_buildg(paired, single, args.f, min_overlap=min_ovl,
+                   write_par_graph_size=args.w)
+    return 0
+
+
+def cmd_preprocess(args) -> int:
+    """runECC.sh equivalent: BBTools trim/filter/error-correct; prints the
+    corrected file lists (reference: runECC.sh:180-440)."""
+    from .preprocess import run_preprocess
+    paired, single = run_preprocess(
+        args.bbmap, args.d,
+        in1=args.in1.split(",") if args.in1 else [],
+        in2=args.in2.split(",") if args.in2 else [],
+        inP=args.inP.split(",") if args.inP else [],
+        inS=args.inS.split(",") if args.inS else [],
+        threads=args.n or None, mem_gb=args.m or None,
+        keep_intermediates=args.keep)
+    if paired:
+        print("paired:", ",".join(paired))
+    if single:
+        print("single:", ",".join(single))
     return 0
 
 
@@ -174,8 +238,33 @@ def main(argv=None) -> int:
                    help="only simplify (graph files must exist)")
     a.add_argument("-resimp", action="store_true",
                    help="nuke previous assembly dir and re-simplify")
+    a.add_argument("-n", type=int, default=0,
+                   help="devices for distributed graph build "
+                        "(runDisco-MPI -n equivalent)")
+    a.add_argument("-rma", action="store_true",
+                   help="accepted for runDisco-MPI.sh parity; the sharded "
+                        "engine always hash-shards the table (MULTIHOST.md)")
+    a.add_argument("-ecc", action="store_true",
+                   help="BBTools preprocessing before assembly "
+                        "(runAssembly.sh equivalent; needs -bbmap)")
+    a.add_argument("-bbmap", help="BBTools install dir (for -ecc)")
     a.add_argument("--write-par-graph-size", type=int, default=1000)
     a.set_defaults(fn=cmd_assemble)
+
+    pp = sub.add_parser("preprocess",
+                        help="BBTools trim/filter/error-correction "
+                             "(runECC.sh equivalent)")
+    pp.add_argument("-in1", help="forward paired read file(s), comma-sep")
+    pp.add_argument("-in2", help="reverse paired read file(s), comma-sep")
+    pp.add_argument("-inP", help="interleaved paired read file(s), comma-sep")
+    pp.add_argument("-inS", help="single read file(s), comma-sep")
+    pp.add_argument("-d", default=".", help="output directory")
+    pp.add_argument("-bbmap", required=True, help="BBTools install dir")
+    pp.add_argument("-n", type=int, default=0, help="threads (t=N)")
+    pp.add_argument("-m", type=int, default=0, help="max memory GB (-Xmx)")
+    pp.add_argument("--keep", action="store_true",
+                    help="keep intermediate trm./ftl. files")
+    pp.set_defaults(fn=cmd_preprocess)
 
     b = sub.add_parser("buildg", help="graph construction (buildG)")
     b.add_argument("-pe", help="paired-end file(s), comma-sep")
@@ -189,6 +278,9 @@ def main(argv=None) -> int:
                    help="max memory GB (accepted, unused)")
     b.add_argument("-w", type=int, default=1000,
                    help="par-graph chunk size (writeParGraphSize)")
+    b.add_argument("-n", type=int, default=0,
+                   help="devices for distributed build (buildG-MPI/-MPIRMA "
+                        "equivalent)")
     b.set_defaults(fn=cmd_buildg)
 
     fsim = sub.add_parser("simplify",

