@@ -73,7 +73,8 @@ def cmd_assemble(args) -> int:
             args.bbmap, ecc_dir,
             in1=[args.in1] if args.in1 else [],
             in2=[args.in2] if args.in2 else [],
-            inP=inter_files, inS=single_files, threads=args.n or None)
+            inP=inter_files, inS=single_files,
+            threads=args.ecc_t or None, mem_gb=args.ecc_m or None)
         pair_files, inter_files, single_files = [], paired, singles
     os.makedirs(os.path.join(out, "graph"), exist_ok=True)
     asm_dir = os.path.join(out, "assembly")
@@ -248,6 +249,11 @@ def main(argv=None) -> int:
                    help="BBTools preprocessing before assembly "
                         "(runAssembly.sh equivalent; needs -bbmap)")
     a.add_argument("-bbmap", help="BBTools install dir (for -ecc)")
+    a.add_argument("-ecc-t", dest="ecc_t", type=int, default=0,
+                   help="BBTools threads for -ecc (t=N); distinct from -n, "
+                        "the device count")
+    a.add_argument("-ecc-m", dest="ecc_m", type=int, default=0,
+                   help="BBTools max memory GB for -ecc (-Xmx)")
     a.add_argument("--write-par-graph-size", type=int, default=1000)
     a.set_defaults(fn=cmd_assemble)
 

@@ -152,12 +152,25 @@ class Preprocessor:
               *kflag, *TADPOLE_FLAGS, *self.extra], self.log)
         return tecc, bbm
 
-    def _ecc_single(self, ftl_files: List[str]) -> List[str]:
-        """Single-end error correction.  The reference's SE branch still
-        pipes through bbmerge ecco (runECC.sh:236 — a no-op-ish pass for
-        unpaired data, reproduced faithfully) before tadpole."""
-        tecc, bbm = self._ecc_interleaved(ftl_files)
-        return tecc if self.keep else (self._rm(bbm) or tecc)
+    def _ecc_separated_pairs(self, ftl1: List[str], ftl2: List[str],
+                             exts: List[str]) -> Tuple[List[str], List[str]]:
+        """Pairs-only error correction (runECC.sh:296-300): ONE bbmerge over
+        all R1/R2 filtered lists, ONE tadpole pooling the merged output into
+        a shared k-mer spectrum; outputs interleave at the tadpole step and
+        are named int.tecc.ftl.trm.<i>.<ext> (extension1="${fName1#*.}",
+        runECC.sh:277-278).  The reference routes the bbmerge output through
+        unset shell variables (same latent bug as the interleaved branch);
+        we name the per-pair interleaved intermediates bbmecc.<i>.<ext>."""
+        bbm = [self._wd(f"bbmecc.{i}.{e}") for i, e in enumerate(exts)]
+        tecc = [self._wd(f"int.tecc.ftl.trm.{i}.{e}")
+                for i, e in enumerate(exts)]
+        _run([_tool(self.bb, "bbmerge.sh"), f"in={','.join(ftl1)}",
+              f"in2={','.join(ftl2)}", f"out={','.join(bbm)}",
+              *BBMERGE_FLAGS, *self.extra], self.log)
+        _run([_tool(self.bb, "tadpole.sh"), f"in={','.join(bbm)}",
+              f"out={','.join(tecc)}", *TADPOLE_FLAGS, *self.extra],
+             self.log)
+        return tecc, bbm
 
     def _rm(self, files: Sequence[str]) -> None:
         for f in files:
@@ -175,6 +188,12 @@ class Preprocessor:
             raise ValueError("-in1/-in2 must be equal-length lists")
         if not (in1 or inP or inS):
             raise ValueError("no input files")
+        if in1 and inP:
+            # reference: "Invalid combination of input files. You can
+            # specify either a set of comma separated interleaved paired
+            # file or two separate paired files not both." (runECC.sh's
+            # final else branch, exit 1)
+            raise ValueError("cannot combine -in1/-in2 with -inP")
         paired: List[str] = []
         single: List[str] = []
         junk: List[str] = []
@@ -195,13 +214,20 @@ class Preprocessor:
                 junk += j
             tecc, bbm = self._ecc_interleaved(ftl)
             single, junk = tecc, junk + bbm
-        elif in1 and not (inP or inS):               # separated pairs only
+        elif in1 and not inS:                        # separated pairs only
+            # R1/R2 stay separate through trim+filter; ONE bbmerge over all
+            # pairs + ONE tadpole interleave at the ecc step
+            # (runECC.sh:263-300)
+            ftl1, ftl2, exts = [], [], []
             for p1, p2 in zip(in1, in2):
-                fl, j = self._trim_filter_pair(p1, p2, interleave=True)
+                fl, j = self._trim_filter_pair(p1, p2, interleave=False)
+                ftl1.append(fl[0])
+                ftl2.append(fl[1])
                 junk += j
-                tecc, bbm = self._ecc_interleaved(fl)
-                paired += tecc
-                junk += bbm
+                b1 = os.path.basename(p1.strip())
+                exts.append(b1.split(".", 1)[1] if "." in b1 else b1)
+            tecc, bbm = self._ecc_separated_pairs(ftl1, ftl2, exts)
+            paired, junk = tecc, junk + bbm
         elif inP and inS and not in1:                # interleaved + single
             ftlS, ftlP = [], []
             for f in inS:
@@ -218,16 +244,27 @@ class Preprocessor:
             single = [self._wd("tecc." + os.path.basename(f)) for f in ftlS]
             junk += bbm
         else:                                        # separated pairs + single
+            # pairs interleave at the FILTER step (int.ftl.trm.<r1>); ONE
+            # bbmerge over all interleaved pair files, ONE tadpole with
+            # ecc k=31 pooling pairs AND singles into a shared k-mer
+            # spectrum (the reference's P1/P2+SE branch: per-pair bbduk
+            # in/in2 -> out=int.ftl.trm, then single bbmerge + tadpole
+            # in=<merged>,<singles> out=<pairs>,<singles> ecc k=31)
+            ftlP = []
             for p1, p2 in zip(in1, in2):
                 fl, j = self._trim_filter_pair(p1, p2, interleave=True)
+                ftlP += fl
                 junk += j
-                tecc, bbm = self._ecc_interleaved(fl)
-                paired += tecc
-                junk += bbm
+            ftlS = []
             for f in inS:
                 p, j = self._trim_filter(f, trimq=10)
+                ftlS.append(p)
                 junk += j
-                single += self._ecc_single([p])
+            tecc, bbm = self._ecc_interleaved(ftlP, tadpole_k=31,
+                                              extra_in=ftlS, extra_out=ftlS)
+            paired = tecc
+            single = [self._wd("tecc." + os.path.basename(f)) for f in ftlS]
+            junk += bbm
 
         if not self.keep:
             self._rm(junk)

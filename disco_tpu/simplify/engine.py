@@ -683,13 +683,13 @@ class FullGraph:
         # before flow); we degrade gracefully instead: zero flows, so the
         # run completes with empty contig output (PARITY.md "Degenerate
         # inputs").
+        # A non-degenerate infeasible problem is a graph-construction bug:
+        # let the solver's error propagate (the reference aborts via CS2
+        # "Error 2") rather than silently zeroing flows.
         if len(fp.arcs) <= 1:
             flows = [0] * len(fp.arcs)
         else:
-            try:
-                flows = _flow.solve_flow(fp)
-            except RuntimeError:
-                flows = [0] * len(fp.arcs)
+            flows = _flow.solve_flow(fp)
         _flow.assign_flows(self, fp, flows)
 
     def remove_edges_without_flow(self) -> int:

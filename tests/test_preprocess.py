@@ -79,19 +79,66 @@ def test_interleaved_branch(tmp_path, bbmap):
     assert left == ["tecc.ftl.trm.lib.fasta"]
 
 
-def test_separated_pairs_interleave(tmp_path, bbmap):
-    p1 = _fa(tmp_path / "r1.fq", "a")
-    p2 = _fa(tmp_path / "r2.fq", "b")
+def test_separated_pairs_branch(tmp_path, bbmap):
+    """Pairs-only: R1/R2 separate through trim+filter, ONE pooled bbmerge
+    (in=/in2= lists), ONE tadpole; outputs int.tecc.ftl.trm.<i>.<ext>
+    (runECC.sh:263-300)."""
+    p1 = _fa(tmp_path / "a_r1.fq", "a")
+    p2 = _fa(tmp_path / "a_r2.fq", "b")
+    q1 = _fa(tmp_path / "b_r1.fq", "c")
+    q2 = _fa(tmp_path / "b_r2.fq", "d")
     log = []
     paired, single = run_preprocess(str(bbmap), str(tmp_path / "wd"),
-                                    in1=[p1], in2=[p2], command_log=log)
+                                    in1=[p1, q1], in2=[p2, q2],
+                                    command_log=log)
     assert single == []
     assert [os.path.basename(p) for p in paired] == \
-        ["tecc.int.ftl.trm.r1.fq"]
+        ["int.tecc.ftl.trm.0.fq", "int.tecc.ftl.trm.1.fq"]
+    tools = [os.path.basename(c[0]) for c in log]
+    # per-pair trim+filter (2 bbduk each), then ONE bbmerge + ONE tadpole
+    assert tools == ["bbduk.sh"] * 4 + ["bbmerge.sh", "tadpole.sh"]
     trim = log[0]
     assert "trimq=10" in trim                     # runECC.sh:263
     assert any(a.startswith("in2=") for a in trim)
     assert any(a.startswith("out2=") for a in trim)
+    filt = log[1]
+    assert any(a.startswith("out2=") for a in filt)   # stays separated
+    merge = log[4]
+    assert any(a.startswith("in2=") and "a_r2.fq" in a and "b_r2.fq" in a
+               for a in merge)                    # pooled over both pairs
+
+
+def test_in1_with_inP_rejected(tmp_path, bbmap):
+    """The reference's branch ladder ends with 'Invalid combination of
+    input files ... exit 1' for -in1/-in2 + -inP (runECC.sh final else)."""
+    p1 = _fa(tmp_path / "r1.fq", "a")
+    p2 = _fa(tmp_path / "r2.fq", "b")
+    pi = _fa(tmp_path / "int.fa", "p")
+    with pytest.raises(ValueError, match="cannot combine"):
+        run_preprocess(str(bbmap), str(tmp_path / "wd"),
+                       in1=[p1], in2=[p2], inP=[pi])
+
+
+def test_separated_pairs_plus_singles(tmp_path, bbmap):
+    """Pairs+singles: pairs interleave at filter (int.ftl.trm.<r1>), ONE
+    bbmerge over all pair files, ONE tadpole ecc k=31 pooling pairs AND
+    singles (the reference's P1/P2+SE branch)."""
+    p1 = _fa(tmp_path / "a_r1.fq", "a")
+    p2 = _fa(tmp_path / "a_r2.fq", "b")
+    s = _fa(tmp_path / "se.fa", "s")
+    log = []
+    paired, single = run_preprocess(str(bbmap), str(tmp_path / "wd"),
+                                    in1=[p1], in2=[p2], inS=[s],
+                                    command_log=log)
+    assert [os.path.basename(x) for x in paired] == \
+        ["tecc.int.ftl.trm.a_r1.fq"]
+    assert [os.path.basename(x) for x in single] == ["tecc.ftl.trm.se.fa"]
+    tools = [os.path.basename(c[0]) for c in log]
+    # pair trim+filter (2), single trim+filter (2), ONE bbmerge, ONE tadpole
+    assert tools == ["bbduk.sh"] * 4 + ["bbmerge.sh", "tadpole.sh"]
+    tad = log[-1]
+    assert "k=31" in tad
+    assert any(a.startswith("in=") and "ftl.trm.se.fa" in a for a in tad)
 
 
 def test_single_end_branch(tmp_path, bbmap):
