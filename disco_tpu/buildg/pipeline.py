@@ -84,11 +84,10 @@ def run_buildg(paired_files: Sequence[str], single_files: Sequence[str],
         with open(prefix + "_CheckpointInfo.txt", "w") as f:
             f.write("CCR=Complete\n")
 
-    par_lines = replay.build_graph_replay(rel, store, superread,
-                                          write_par_graph_size)
-    with open(prefix + "_0_parGraph.txt", "w") as f:
-        for ln in par_lines:
-            f.write(ln + "\n")
+    par_blob = replay.build_graph_replay_native(rel, store, superread,
+                                                write_par_graph_size)
+    with open(prefix + "_0_parGraph.txt", "wb") as f:
+        f.write(par_blob)
     # reference: main.cpp:63-70 appends GC=Complete
     with open(prefix + "_CheckpointInfo.txt", "a") as f:
         f.write("GC=Complete\n")

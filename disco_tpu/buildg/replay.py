@@ -105,6 +105,32 @@ class _Edge:
         self.trans = False
 
 
+def _edge_hit_groups(rel: OverlapRelation, store: ReadStore,
+                     superread: np.ndarray):
+    """Edge-eligible hits (both endpoints uncontained) grouped by r1."""
+    n = store.n_reads
+    mask = rel.edge_ok & (superread[rel.r1 + 1] == 0) \
+        & (superread[rel.r2 + 1] == 0)
+    er1 = rel.r1[mask] + 1
+    starts = np.searchsorted(er1, np.arange(1, n + 2))
+    return starts, rel.j[mask], rel.r2[mask] + 1, rel.orient[mask]
+
+
+def build_graph_replay_native(rel: OverlapRelation, store: ReadStore,
+                              superread: np.ndarray,
+                              write_par_graph_size: int = 1000) -> bytes:
+    """Native (C++) replay — same traversal as build_graph_replay below
+    (which remains the parity oracle); returns the parGraph file content."""
+    from .. import native
+    n = store.n_reads
+    starts, ej, er2, eo = _edge_hit_groups(rel, store, superread)
+    all_marked = (superread[:n + 1] != 0).astype(np.uint8)
+    all_marked[0] = 1
+    return native.graph_replay(n, rel.k, write_par_graph_size, starts,
+                               ej, er2, eo, store.lengths,
+                               store.file_index, all_marked)
+
+
 def build_graph_replay(rel: OverlapRelation, store: ReadStore,
                        superread: np.ndarray,
                        write_par_graph_size: int = 1000) -> List[str]:

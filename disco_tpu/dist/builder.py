@@ -87,14 +87,13 @@ def run_buildg_sharded(paired_files: Sequence[str],
     table = FingerprintTable.build(store, min_overlap - 1)
     rel = sharded_relation(store, table, mesh)
     superread, cont_lines = replay.containment_replay(rel, store)
-    par_lines = replay.build_graph_replay(rel, store, superread,
-                                          write_par_graph_size)
+    par_blob = replay.build_graph_replay_native(rel, store, superread,
+                                                write_par_graph_size)
     with open(prefix + "_0_containedReads.txt", "w") as f:
         for ln in cont_lines:
             f.write(ln + "\n")
-    with open(prefix + "_0_parGraph.txt", "w") as f:
-        for ln in par_lines:
-            f.write(ln + "\n")
+    with open(prefix + "_0_parGraph.txt", "wb") as f:
+        f.write(par_blob)
     with open(prefix + "_CheckpointInfo.txt", "w") as f:
         f.write("CCR=Complete\nGC=Complete\n")
     with open(prefix + "_0_startRead.txt", "w") as f:

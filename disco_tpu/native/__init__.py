@@ -67,6 +67,59 @@ def stdsort_permutation(keys, descending: bool = False) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# buildG traversal replay (see replay.cpp header)
+# ---------------------------------------------------------------------------
+_REPLAY = None
+
+
+def _replay_lib():
+    global _REPLAY
+    with _LOCK:
+        if _REPLAY is None:
+            lib = _compile("replay", opt="-O2")
+            p64 = ctypes.POINTER(ctypes.c_int64)
+            p32 = ctypes.POINTER(ctypes.c_int32)
+            pi8 = ctypes.POINTER(ctypes.c_int8)
+            pu8 = ctypes.POINTER(ctypes.c_uint8)
+            lib.graph_replay.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, p64,
+                p32, p32, pi8, p32, p64, pu8, p64]
+            lib.graph_replay.restype = ctypes.c_void_p
+            lib.replay_free.argtypes = [ctypes.c_void_p]
+            lib.replay_free.restype = None
+            _REPLAY = lib
+    return _REPLAY
+
+
+def graph_replay(n: int, k: int, wpgs: int, starts, ej, er2, eo, lens, fidx,
+                 all_marked) -> bytes:
+    """Run the sequential buildG traversal replay; returns the
+    _parGraph.txt content (newline-terminated lines) as bytes."""
+    lib = _replay_lib()
+    starts = np.ascontiguousarray(starts, np.int64)
+    ej = np.ascontiguousarray(ej, np.int32)
+    er2 = np.ascontiguousarray(er2, np.int32)
+    eo = np.ascontiguousarray(eo, np.int8)
+    lens = np.ascontiguousarray(lens, np.int32)
+    fidx = np.ascontiguousarray(fidx, np.int64)
+    all_marked = np.ascontiguousarray(all_marked, np.uint8)
+    size = ctypes.c_int64(0)
+    ptr = lib.graph_replay(
+        n, k, wpgs, starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ej.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        er2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        eo.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        fidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        all_marked.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(size))
+    try:
+        return ctypes.string_at(ptr, size.value)
+    finally:
+        lib.replay_free(ptr)
+
+
+# ---------------------------------------------------------------------------
 # Min-cost flow (CS2 replacement; see mcmf.cpp header)
 # ---------------------------------------------------------------------------
 _MCMF = None
@@ -140,6 +193,89 @@ def pack_reads(blob: bytes, offsets: np.ndarray, n_words: int):
     if bad >= 0:
         raise ValueError(f"non-ACGT base in read {bad + 1}")
     return packed, packed_rc
+
+
+# ---------------------------------------------------------------------------
+# Overlap relation (hot host compute path; see overlap.cpp header)
+# ---------------------------------------------------------------------------
+_OVERLAP = None
+
+
+def _overlap_lib():
+    global _OVERLAP
+    with _LOCK:
+        if _OVERLAP is None:
+            lib = _compile("overlap", opt="-O3", extra=("-fopenmp",))
+            p64 = ctypes.POINTER(ctypes.c_int64)
+            p32 = ctypes.POINTER(ctypes.c_int32)
+            pu32 = ctypes.POINTER(ctypes.c_uint32)
+            pu64 = ctypes.POINTER(ctypes.c_uint64)
+            pi8 = ctypes.POINTER(ctypes.c_int8)
+            pu8 = ctypes.POINTER(ctypes.c_uint8)
+            lib.overlap_relation.argtypes = [
+                pu32, pu32, p32, ctypes.c_int64, ctypes.c_int64,
+                pu64, p32, pi8, pi8, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, p64,
+                p32, p32, p32, pi8, pi8, pu8, pu8]
+            lib.overlap_relation.restype = None
+            _OVERLAP = lib
+    return _OVERLAP
+
+
+def overlap_relation(packed: np.ndarray, packed_rc: np.ndarray,
+                     lengths: np.ndarray, keys: np.ndarray,
+                     tread: np.ndarray, torient: np.ndarray,
+                     ttyp: np.ndarray, k: int):
+    """Full verified overlap/containment relation over all (read, window)
+    queries against the sorted fingerprint table, emitted in
+    (r1, j, bucket-scan) order. Returns dict of column arrays (see
+    overlap.cpp for semantics)."""
+    lib = _overlap_lib()
+    n, row_words = packed.shape
+    m = len(keys)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    pu32 = ctypes.POINTER(ctypes.c_uint32)
+    pu64 = ctypes.POINTER(ctypes.c_uint64)
+    pi8 = ctypes.POINTER(ctypes.c_int8)
+    pu8 = ctypes.POINTER(ctypes.c_uint8)
+    packed = np.ascontiguousarray(packed, np.uint32)
+    packed_rc = np.ascontiguousarray(packed_rc, np.uint32)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    keys = np.ascontiguousarray(keys, np.uint64)
+    tread = np.ascontiguousarray(tread, np.int32)
+    torient = np.ascontiguousarray(torient, np.int8)
+    ttyp = np.ascontiguousarray(ttyp, np.int8)
+    counts = np.zeros(n + 1, np.int64)
+    args_common = (
+        packed.ctypes.data_as(pu32), packed_rc.ctypes.data_as(pu32),
+        lengths.ctypes.data_as(p32), n, row_words,
+        keys.ctypes.data_as(pu64), tread.ctypes.data_as(p32),
+        torient.ctypes.data_as(pi8), ttyp.ctypes.data_as(pi8), m, k)
+    null32 = ctypes.cast(None, p32)
+    null8 = ctypes.cast(None, pi8)
+    nullu8 = ctypes.cast(None, pu8)
+    lib.overlap_relation(*args_common, 0, counts[1:].ctypes.data_as(p64),
+                         null32, null32, null32, null8, null8,
+                         nullu8, nullu8)
+    offsets = np.cumsum(counts)
+    total = int(offsets[-1])
+    out = {
+        "r1": np.empty(total, np.int32), "j": np.empty(total, np.int32),
+        "r2": np.empty(total, np.int32), "orient": np.empty(total, np.int8),
+        "typ": np.empty(total, np.int8), "cont_ok": np.empty(total, np.uint8),
+        "edge_ok": np.empty(total, np.uint8)}
+    lib.overlap_relation(*args_common, 1, offsets.ctypes.data_as(p64),
+                         out["r1"].ctypes.data_as(p32),
+                         out["j"].ctypes.data_as(p32),
+                         out["r2"].ctypes.data_as(p32),
+                         out["orient"].ctypes.data_as(pi8),
+                         out["typ"].ctypes.data_as(pi8),
+                         out["cont_ok"].ctypes.data_as(pu8),
+                         out["edge_ok"].ctypes.data_as(pu8))
+    out["cont_ok"] = out["cont_ok"].astype(bool)
+    out["edge_ok"] = out["edge_ok"].astype(bool)
+    return out
 
 
 def mcmf_solve(v_nodes: int, tail, head, lb, ub, cost) -> np.ndarray:

@@ -1,0 +1,343 @@
+// Native sequential replay of the reference's graph-construction traversal
+// (chunked BFS + Myers transitive reduction + parGraph emission).
+//
+// Exact behavioral port of disco_tpu/buildg/replay.py::build_graph_replay
+// (itself a replay of reference src/BuildGraph/src/OverlapGraph.cpp:100-325,
+// 631-678, 687-761, 790-907 with one thread).  The Python implementation is
+// kept as the parity oracle; this one exists because the replay is the
+// second-hottest host stage after candidate verification.
+//
+// Edge-list sorting uses std::sort with an offset-only comparator — the
+// reference sorts with libstdc++ introsort (OverlapGraph.cpp:676), whose
+// (unstable) tie order depends only on comparison outcomes and element
+// count, so this reproduces it exactly.
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <deque>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr int MAX_EDGE_PER_KMER = 4;  // reference: Common.h:62
+
+// node states (reference: OverlapGraph.h nodeType)
+constexpr int8_t NOT_EXPLORED = -1;
+constexpr int8_t EXPLORED = 0;
+constexpr int8_t MARKED = 1;
+constexpr int8_t REMOVED = 2;
+constexpr int8_t WRITTEN = 3;
+
+const int EDGE_ORIENT[4] = {3, 0, 2, 1};  // OverlapGraph.cpp:660-666
+const int TWIN_ORIENT[4] = {3, 1, 2, 0};  // OverlapGraph.cpp:770-784
+
+struct Edge {
+  int64_t src, dst;
+  int32_t orient;
+  int64_t offset;
+  Edge* twin;
+  bool trans;
+};
+
+struct Replayer {
+  // inputs
+  int64_t n, k, wpgs;
+  const int64_t* starts;  // (n+1,) hit-group bounds, group of read r (1-based)
+                          // = [starts[r-1], starts[r])
+  const int32_t* ej;
+  const int32_t* er2;   // 1-based
+  const int8_t* eo;
+  const int32_t* lens;  // 0-based
+  const int64_t* fidx;  // 0-based
+  uint8_t* all_marked;  // (n+1,), mutated
+
+  // per-component state (stamp-free: reset via touched list)
+  std::vector<int8_t> explored;           // (n+1,) node state
+  std::vector<uint8_t> in_adj;            // (n+1,)
+  std::vector<std::vector<Edge*>> adj;    // (n+1,)
+  std::vector<int64_t> touched;           // nodes with adj entries
+  std::vector<int64_t> inserted_stamp;    // (n+1,) insert_all_edges dedupe
+  int64_t stamp = 0;
+  std::vector<int64_t> marked_stamp;      // (n+1,) mark_transitive presence
+  std::vector<int8_t> marked_val;         // (n+1,) 0=INPLAY 1=ELIMINATED
+  std::deque<Edge> pool;
+
+  std::string out;
+
+  void ensure_adj(int64_t r) {
+    if (!in_adj[r]) {
+      in_adj[r] = 1;
+      adj[r].clear();
+      touched.push_back(r);
+    }
+  }
+
+  int64_t overlap_len(int32_t ho, int64_t j, int64_t len1) const {
+    return (ho == 0 || ho == 2) ? len1 - j : k + j;
+  }
+
+  void insert_all_edges(int64_t r1) {
+    const int64_t len1 = lens[r1 - 1];
+    ensure_adj(r1);
+    auto& lst = adj[r1];
+    ++stamp;
+    int64_t cur_j = -1;
+    int ctr = 0;
+    for (int64_t idx = starts[r1 - 1]; idx < starts[r1]; ++idx) {
+      const int64_t j = ej[idx];
+      if (j != cur_j) {
+        cur_j = j;
+        ctr = 0;
+      }
+      if (ctr >= MAX_EDGE_PER_KMER) continue;
+      const int64_t r2 = er2[idx];
+      if (explored[r2] != NOT_EXPLORED) continue;
+      if (inserted_stamp[r2] == stamp) continue;
+      const int32_t ho = eo[idx];
+      const int64_t len2 = lens[r2 - 1];
+      const int64_t ovl = overlap_len(ho, j, len1);
+      const int32_t orient = EDGE_ORIENT[ho];
+      const int64_t offset = len1 - ovl;
+      pool.push_back(Edge{r1, r2, orient, offset, nullptr, false});
+      Edge* e = &pool.back();
+      pool.push_back(Edge{r2, r1, TWIN_ORIENT[orient],
+                          len2 + offset - len1, e, false});
+      Edge* te = &pool.back();
+      e->twin = te;
+      lst.push_back(e);
+      ensure_adj(r2);
+      adj[r2].push_back(te);
+      inserted_stamp[r2] = stamp;
+      ++ctr;
+    }
+    if (!lst.empty()) {
+      std::sort(lst.begin(), lst.end(),
+                [](const Edge* a, const Edge* b) {
+                  return a->offset < b->offset;
+                });
+    }
+  }
+
+  void mark_transitive(int64_t r) {
+    ++stamp;  // reuse the stamp counter for the marked map too
+    auto& lst = adj[r];
+    for (Edge* e : lst) {
+      if (marked_stamp[e->dst] != stamp) {
+        marked_stamp[e->dst] = stamp;
+        marked_val[e->dst] = 0;  // INPLAY
+      }
+    }
+    for (Edge* e : lst) {
+      const int64_t r2 = e->dst;
+      if (marked_val[r2] == 0 && marked_stamp[r2] == stamp) {
+        for (Edge* e2 : adj[r2]) {
+          const int64_t r3 = e2->dst;
+          if (marked_stamp[r3] == stamp && marked_val[r3] == 0) {
+            const int t1 = e->orient, t2 = e2->orient;
+            if (((t1 == 0 || t1 == 2) && (t2 == 0 || t2 == 1)) ||
+                ((t1 == 1 || t1 == 3) && (t2 == 2 || t2 == 3))) {
+              marked_val[r3] = 1;  // ELIMINATED
+            }
+          }
+        }
+      }
+    }
+    for (Edge* e : lst) {
+      if (marked_stamp[e->dst] == stamp && marked_val[e->dst] == 1) {
+        e->trans = true;
+        e->twin->trans = true;
+      }
+    }
+  }
+
+  void delete_twin(Edge* twin) {
+    auto& l2 = adj[twin->src];
+    for (size_t i = 0; i < l2.size(); ++i) {
+      if (l2[i] == twin) {
+        l2[i] = l2.back();
+        l2.pop_back();
+        break;
+      }
+    }
+  }
+
+  void remove_transitive(int64_t r) {
+    auto& lst = adj[r];
+    for (size_t i = 0; i < lst.size(); ++i) {
+      if (lst[i]->trans) delete_twin(lst[i]->twin);
+    }
+    size_t w = 0;
+    for (size_t i = 0; i < lst.size(); ++i) {
+      if (!lst[i]->trans) lst[w++] = lst[i];
+    }
+    lst.resize(w);
+  }
+
+  void emit(int64_t f1, int64_t f2, int32_t orient, int64_t ovl,
+            int64_t src_len, int64_t offset, int64_t dst_len, int flag) {
+    char buf[192];
+    const int len = std::snprintf(
+        buf, sizeof buf,
+        "%lld\t%lld\t%d,%lld,0,0,%lld,%lld,%lld,%lld,0,%lld,NA,%d\n",
+        (long long)f1, (long long)f2, orient, (long long)ovl,
+        (long long)src_len, (long long)offset, (long long)(src_len - 1),
+        (long long)dst_len, (long long)(ovl - 1), flag);
+    out.append(buf, len);
+  }
+
+  void save_par_graph() {
+    std::vector<int64_t> keys;
+    keys.reserve(touched.size());
+    for (int64_t r : touched) {
+      if (in_adj[r]) keys.push_back(r);
+    }
+    std::sort(keys.begin(), keys.end());
+    for (int64_t rid : keys) {
+      if (!in_adj[rid]) continue;  // deleted by an earlier iteration? (py:
+                                   // snapshot keys, .get returns None only
+                                   // after del — mirror with in_adj)
+      auto& lst = adj[rid];
+      if (lst.empty() || explored[rid] == NOT_EXPLORED) continue;
+      if (explored[rid] != REMOVED) continue;
+      for (size_t idx = 0; idx < lst.size(); ++idx) {
+        Edge* e = lst[idx];
+        Edge* te = e->twin;
+        const int64_t src = e->src, dst = e->dst;
+        if (src < dst) {
+          const int64_t src_len = lens[src - 1];
+          const int64_t ovl = src_len - e->offset;
+          const int flag = (explored[dst] == REMOVED) ? 2 : 0;
+          emit(fidx[src - 1], fidx[dst - 1], e->orient, ovl, src_len,
+               e->offset, lens[dst - 1], flag);
+        } else {
+          const int64_t src_len = lens[dst - 1];  // twin's source = e->dst
+          const int64_t ovl = src_len - te->offset;
+          const int flag = (explored[dst] == REMOVED) ? 2 : 1;
+          emit(fidx[dst - 1], fidx[src - 1], te->orient, ovl, src_len,
+               te->offset, lens[src - 1], flag);
+        }
+        delete_twin(te);
+      }
+      in_adj[rid] = 0;
+      adj[rid].clear();
+      explored[rid] = WRITTEN;
+    }
+  }
+
+  void run() {
+    explored.assign(n + 1, NOT_EXPLORED);
+    in_adj.assign(n + 1, 0);
+    adj.assign(n + 1, {});
+    inserted_stamp.assign(n + 1, 0);
+    marked_stamp.assign(n + 1, 0);
+    marked_val.assign(n + 1, 0);
+
+    int64_t start = 1, prev = 1;
+    while (start != 0) {
+      // fresh component state
+      for (int64_t r : touched) {
+        in_adj[r] = 0;
+        adj[r].clear();
+        explored[r] = NOT_EXPLORED;
+      }
+      touched.clear();
+      pool.clear();
+      ensure_adj(start);
+
+      std::deque<int64_t> q;
+      q.push_back(start);
+      int64_t written = 0;
+      while (!q.empty() && written < wpgs) {
+        const int64_t r1 = q.front();
+        q.pop_front();
+        const bool was_marked = all_marked[r1] != 0;
+        if (!was_marked) all_marked[r1] = 1;
+        if (!was_marked || r1 == start) {
+          if (explored[r1] == NOT_EXPLORED) {
+            insert_all_edges(r1);
+            explored[r1] = EXPLORED;
+          }
+          if (!adj[r1].empty()) {
+            if (explored[r1] == EXPLORED) {
+              for (size_t i1 = 0; i1 < adj[r1].size(); ++i1) {
+                const int64_t r2 = adj[r1][i1]->dst;
+                if (explored[r2] == NOT_EXPLORED) {
+                  q.push_back(r2);
+                  insert_all_edges(r2);
+                  explored[r2] = EXPLORED;
+                }
+              }
+              mark_transitive(r1);
+              explored[r1] = MARKED;
+            }
+            if (explored[r1] == MARKED) {
+              for (size_t i1 = 0; i1 < adj[r1].size(); ++i1) {
+                const int64_t r2 = adj[r1][i1]->dst;
+                if (explored[r2] == EXPLORED) {
+                  for (size_t i2 = 0; i2 < adj[r2].size(); ++i2) {
+                    const int64_t r3 = adj[r2][i2]->dst;
+                    if (explored[r3] == NOT_EXPLORED) {
+                      q.push_back(r3);
+                      insert_all_edges(r3);
+                      explored[r3] = EXPLORED;
+                    }
+                  }
+                  mark_transitive(r2);
+                  explored[r2] = MARKED;
+                }
+              }
+              remove_transitive(r1);
+              explored[r1] = REMOVED;
+              ++written;
+            }
+          }
+        }
+      }
+      save_par_graph();
+      start = 0;
+      for (int64_t i = prev; i <= n; ++i) {
+        if (!all_marked[i]) {
+          start = prev = i;
+          all_marked[i] = 1;
+          break;
+        }
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns a malloc'd buffer with the parGraph text (newline-terminated
+// lines); caller frees with replay_free. *out_size receives the byte count.
+char* graph_replay(int64_t n, int64_t k, int64_t wpgs, const int64_t* starts,
+                   const int32_t* ej, const int32_t* er2, const int8_t* eo,
+                   const int32_t* lens, const int64_t* fidx,
+                   uint8_t* all_marked, int64_t* out_size) {
+  Replayer rp;
+  rp.n = n;
+  rp.k = k;
+  rp.wpgs = wpgs;
+  rp.starts = starts;
+  rp.ej = ej;
+  rp.er2 = er2;
+  rp.eo = eo;
+  rp.lens = lens;
+  rp.fidx = fidx;
+  rp.all_marked = all_marked;
+  rp.run();
+  char* buf = static_cast<char*>(std::malloc(rp.out.size() + 1));
+  std::memcpy(buf, rp.out.data(), rp.out.size());
+  buf[rp.out.size()] = '\0';
+  *out_size = static_cast<int64_t>(rp.out.size());
+  return buf;
+}
+
+void replay_free(char* p) { std::free(p); }
+
+}  // extern "C"

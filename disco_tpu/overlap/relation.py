@@ -67,7 +67,9 @@ def window_codes(store: ReadStore, k: int):
     if (n_win <= 0).any():
         raise ValueError("read shorter than min overlap")
     qread = np.repeat(np.arange(n, dtype=np.int32), n_win)
-    offs = np.concatenate([np.arange(c, dtype=np.int64) for c in n_win])
+    cum = np.cumsum(n_win)
+    offs = np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(
+        cum - n_win, n_win)
     qj = offs.astype(np.int32)
 
     words = store.packed
@@ -86,10 +88,27 @@ def window_codes(store: ReadStore, k: int):
 
 
 def compute_relation(store: ReadStore, table: FingerprintTable,
-                     chunk: int = 1 << 22) -> OverlapRelation:
-    """Candidate pairs are expanded and verified in chunks of `chunk`
-    candidates so the host never materialises the full candidate list —
-    only verified hits are kept (required for multi-Mb genomes)."""
+                     chunk: int = 1 << 22,
+                     backend: str = "native") -> OverlapRelation:
+    """Verified overlap/containment relation over all read windows.
+
+    backend="native" (default): the C++/OpenMP kernel
+    (disco_tpu/native/overlap.cpp) — window scan, radix-accelerated
+    sorted-table lookup, and packed-word verification in one pass, emitting
+    hits directly in relation order.
+
+    backend="xla": the jit-verifier path kept as a cross-check oracle.
+    Candidate pairs are expanded and verified in chunks of `chunk`
+    candidates so the host never materialises the full candidate list."""
+    if backend == "native":
+        from .. import native
+        out = native.overlap_relation(
+            store.packed, store.packed_rc, store.lengths, table.keys,
+            table.read, table.orient, table.typ, table.k)
+        return OverlapRelation(
+            r1=out["r1"], j=out["j"], r2=out["r2"], orient=out["orient"],
+            typ=out["typ"], cont_ok=out["cont_ok"], edge_ok=out["edge_ok"],
+            k=table.k)
     k = table.k
     qread, qj, qcode = window_codes(store, k)
     lo, hi = table.lookup_ranges(qcode)
