@@ -123,11 +123,27 @@ def cmd_assemble(args) -> int:
     return 0
 
 
+def _par_graph_size(mem_gb: int, threads: int) -> int:
+    """The reference's memory-based chunk-size rule: per-thread GB bands
+    [20,inf)->80000, [10,20)->40000, [5,10)->20000, (0,5)->1000
+    (reference: src/BuildGraph/src/OverlapGraph.cpp:67-81, Common.h:51-54;
+    the reference subtracts current RSS first — negligible at GB scale)."""
+    per_thread_mb = mem_gb * 1024 // max(threads, 1)
+    if per_thread_mb >= 20 * 1024:
+        return 80000
+    if per_thread_mb >= 10 * 1024:
+        return 40000
+    if per_thread_mb >= 5 * 1024:
+        return 20000
+    return 1000
+
+
 def cmd_buildg(args) -> int:
     """`buildG` executable equivalent (reference CLI:
     src/BuildGraph/src/main.cpp:95-148 — -pe/-se comma lists, -f prefix,
-    -p cfg with MinOverlap4BuildGraph, -w chunk size; -t/-m accepted for
-    compatibility, scheduling is device-driven here)."""
+    -p cfg with MinOverlap4BuildGraph, -m memory budget (sets the parGraph
+    chunk size exactly like the reference), -w explicit chunk override;
+    -t accepted for compatibility, scheduling is device-driven here)."""
     from .buildg.pipeline import run_buildg
 
     paired = args.pe.split(",") if args.pe else []
@@ -136,13 +152,15 @@ def cmd_buildg(args) -> int:
         print("buildg: no input files (-pe/-se)", file=sys.stderr)
         return 1
     min_ovl = _cfg_min_overlap(args.p) if args.p else args.m_ovl
+    wsize = args.w or (_par_graph_size(args.m, args.t or 1)
+                       if args.m else 1000)
     if args.n and args.n > 1:
         from .dist.builder import run_buildg_sharded
         run_buildg_sharded(paired, single, args.f, _mesh(args.n),
-                           min_overlap=min_ovl, write_par_graph_size=args.w)
+                           min_overlap=min_ovl, write_par_graph_size=wsize)
     else:
         run_buildg(paired, single, args.f, min_overlap=min_ovl,
-                   write_par_graph_size=args.w)
+                   write_par_graph_size=wsize)
     return 0
 
 
@@ -279,11 +297,14 @@ def main(argv=None) -> int:
     b.add_argument("-p", help="parameter cfg (MinOverlap4BuildGraph)")
     b.add_argument("-m-ovl", dest="m_ovl", type=int, default=30,
                    help="min overlap if no cfg")
-    b.add_argument("-t", type=int, default=0, help="accepted, unused")
+    b.add_argument("-t", type=int, default=0,
+                   help="threads (enters the -m chunk-size rule only)")
     b.add_argument("-m", type=int, default=0,
-                   help="max memory GB (accepted, unused)")
-    b.add_argument("-w", type=int, default=1000,
-                   help="par-graph chunk size (writeParGraphSize)")
+                   help="max memory GB; sets the parGraph chunk size via "
+                        "the reference's per-thread bands (-m 8 -> 20000)")
+    b.add_argument("-w", type=int, default=0,
+                   help="explicit par-graph chunk size (writeParGraphSize); "
+                        "overrides -m (default 1000 if neither given)")
     b.add_argument("-n", type=int, default=0,
                    help="devices for distributed build (buildG-MPI/-MPIRMA "
                         "equivalent)")
