@@ -48,10 +48,13 @@ class ReadStore:
         """reference_task_order=True replays the reference's read-ID
         assignment order: its parser batches records into OpenMP tasks of
         READ_TASK_BLOCK+1 records (reference: Dataset.cpp:295-338); with one
-        thread libgomp defers the tasks and runs them LIFO at the taskwait,
-        and the sub-block remainder runs inline afterwards
-        (reference: Dataset.cpp:346-370) — so IDs go to the LAST full block
-        first, then backwards, then the remainder. False gives natural file
+        thread libgomp DEFERS only the first 65 tasks (task throttling:
+        a task is undeferred once team->task_count > 64 * nthreads,
+        libgomp task.c), so blocks 65.. run inline at their spawn points in
+        file order, the taskwait then drains the 65 deferred blocks LIFO
+        (64..0), and the sub-block remainder runs inline afterwards
+        (reference: Dataset.cpp:346-370).  Below 66 full blocks this
+        degenerates to pure LIFO + remainder.  False gives natural file
         order (the sane default for native mode)."""
         seqs: List[str] = []
         findx: List[int] = []
@@ -75,12 +78,14 @@ class ReadStore:
                 blocks = [recs[s:s + bs] for s in range(0, len(recs), bs)]
                 keep_blocks = [keep[s:s + bs] for s in range(0, len(recs), bs)]
                 if reference_task_order and blocks:
-                    if len(blocks[-1]) == bs:
-                        order = blocks[::-1]
-                        keep_order = keep_blocks[::-1]
-                    else:
-                        order = blocks[-2::-1] + [blocks[-1]]
-                        keep_order = keep_blocks[-2::-1] + [keep_blocks[-1]]
+                    nfull = len(blocks) if len(blocks[-1]) == bs \
+                        else len(blocks) - 1
+                    ndefer = min(nfull, 65)  # libgomp throttle, 1 thread
+                    perm = (list(range(ndefer, nfull))        # inline @spawn
+                            + list(range(ndefer - 1, -1, -1))  # taskwait LIFO
+                            + ([nfull] if nfull < len(blocks) else []))
+                    order = [blocks[i] for i in perm]
+                    keep_order = [keep_blocks[i] for i in perm]
                 else:
                     order = blocks
                     keep_order = keep_blocks
