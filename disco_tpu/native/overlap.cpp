@@ -17,6 +17,7 @@
 // fills), each pass parallel over reads; the output is bit-deterministic
 // for any thread count because every read owns a disjoint output slice.
 #include <cstdint>
+#include <vector>
 
 namespace {
 
@@ -52,20 +53,31 @@ struct Table {
   const int8_t* orient;
   const int8_t* typ;
   int64_t m;
-  // top-16-bit radix index narrowing the binary search range
-  int64_t radix[65537];
+  // top-RBITS radix index narrowing the binary search range; at 24 bits a
+  // multi-million-entry table averages <1 entry per radix bucket, so most
+  // window lookups (the vast majority are misses) cost one indexed load
+  static constexpr int RBITS = 24;
+  static constexpr int RSHIFT = 64 - RBITS;
+  std::vector<int64_t> radix;
 
   void build_radix() {
+    radix.assign((int64_t(1) << RBITS) + 1, 0);
     int64_t pos = 0;
-    for (int64_t p = 0; p <= 65536; ++p) {
-      while (pos < m && (keys[pos] >> 48) < static_cast<uint64_t>(p)) ++pos;
+    for (int64_t p = 0; p <= (int64_t(1) << RBITS); ++p) {
+      while (pos < m && (keys[pos] >> RSHIFT) < static_cast<uint64_t>(p))
+        ++pos;
       radix[p] = pos;
     }
   }
 
   inline void lookup(uint64_t q, int64_t* lo_out, int64_t* hi_out) const {
-    const int64_t p = static_cast<int64_t>(q >> 48);
+    const int64_t p = static_cast<int64_t>(q >> RSHIFT);
     int64_t lo = radix[p], hi = radix[p + 1];
+    if (lo == hi) {
+      *lo_out = lo;
+      *hi_out = hi;
+      return;
+    }
     // lower_bound
     int64_t a = lo, b = hi;
     while (a < b) {
