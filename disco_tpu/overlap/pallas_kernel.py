@@ -47,15 +47,20 @@ def _compare_kernel(a_ref, b_ref, bit1_ref, bit2_ref, n_ref, out_ref):
         lo = (w1 >> (jnp.uint32(31) - bit)) >> one
         return jnp.where(bit == 0, w0, (w0 << bit) | lo)
 
+    # constants must be explicit int32: with jax_enable_x64 on, weak Python
+    # ints in where/clip become int64 and Mosaic's int64->int32
+    # convert-element-type lowering recurses infinitely
+    i32 = jnp.int32
     for wi in range(n_words):
         rem = n - 16 * wi
         x = window_word(a_ref, wi, bit1)
         y = window_word(b_ref, wi, bit2)
-        shift = pltpu.bitcast(2 * (16 - jnp.clip(rem, 1, 16)), jnp.uint32)
+        shift = pltpu.bitcast(
+            i32(2) * (i32(16) - jnp.clip(rem, i32(1), i32(16))), jnp.uint32)
         partial = full << shift
         mask = jnp.where(rem >= 16, full,
                          jnp.where(rem <= 0, jnp.uint32(0), partial))
-        ok &= jnp.where(((x ^ y) & mask) == 0, 1, 0)
+        ok &= jnp.where(((x ^ y) & mask) == 0, i32(1), i32(0))
     out_ref[:] = ok
 
 
