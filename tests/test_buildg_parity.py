@@ -23,6 +23,32 @@ CASES = [
 ]
 
 
+def test_buildg_fastq_input(tmp_path):
+    """FASTQ input produces the same outputs as FASTA of the same reads
+    (reference sniffs the format from the first byte and ignores quality,
+    src/BuildGraph/src/Dataset.cpp:260-293; verified against the reference
+    binary on fresh data — see verify skill)."""
+    d = GOLDEN / "mini"
+    fq = tmp_path / "reads.fastq"
+    with open(d / "reads.fasta") as f, open(fq, "w") as out:
+        name, seq = None, ""
+        for line in f:
+            if line.startswith(">"):
+                if name:
+                    out.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+                name, seq = line[1:].strip(), ""
+            else:
+                seq += line.strip()
+        out.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+    out_prefix = str(tmp_path / "mini")
+    run_buildg([str(fq)], [], out_prefix, min_overlap=30,
+               write_par_graph_size=1000)
+    for suffix in ("_0_containedReads.txt", "_0_parGraph.txt"):
+        got = pathlib.Path(out_prefix + suffix).read_text()
+        want = (d / ("mini" + suffix)).read_text()
+        assert got == want, f"fastq{suffix} differs"
+
+
 @pytest.mark.parametrize("case,prefix,pe,se,wsize", CASES)
 def test_buildg_parity(case, prefix, pe, se, wsize, tmp_path):
     d = GOLDEN / case
