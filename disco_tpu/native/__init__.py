@@ -53,6 +53,15 @@ def stdsort_permutation(keys, descending: bool = False) -> np.ndarray:
     out = np.empty(n, np.int64)
     if n == 0:
         return out
+    if n <= 16:
+        # libstdc++ introsort runs a plain insertion sort on ranges up to
+        # _S_threshold=16 — which is STABLE — so the permutation is just a
+        # stable argsort; skips the ctypes round-trip on the (overwhelmingly
+        # common) small lists
+        if descending:
+            k2 = keys.astype(np.int64, copy=False)
+            return np.lexsort((np.arange(n), -k2))
+        return np.argsort(keys, kind="stable")
     lib = _lib()
     if keys.dtype == np.uint64 and not descending:
         fn = lib.stdsort_by_key_u64

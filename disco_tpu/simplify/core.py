@@ -322,12 +322,32 @@ def free_pair(alloc: Alloc, e: Edge) -> None:
 class NodeMap:
     """map<UINT64, vector<Edge*>> with key-ordered iteration that behaves
     like std::map iterators: inserting a key > current position makes it
-    visible later in the same sweep; erasing the current key advances."""
-    __slots__ = ("d", "keys")
+    visible later in the same sweep; erasing the current key advances.
+
+    The sorted key list is maintained LAZILY: inserts append (O(1)) and
+    erases only count, with compaction (one sort / rebuild from the dict)
+    deferred to the next ordered access — bulk graph loads and phase-wise
+    mutate-then-sweep patterns each pay one O(n log n) sort instead of the
+    O(n^2) memmove of per-insert insort/per-erase del."""
+    __slots__ = ("d", "_keys", "_dirty", "_nstale")
 
     def __init__(self):
         self.d = {}           # key -> list[Edge]
-        self.keys: List[int] = []  # sorted
+        self._keys: List[int] = []  # sorted iff not _dirty; may hold stale
+        self._dirty = False   # appended keys not yet sorted in
+        self._nstale = 0      # erased keys still present in _keys
+
+    def _compact(self) -> None:
+        self._keys = sorted(self.d)
+        self._dirty = False
+        self._nstale = 0
+
+    @property
+    def keys(self) -> List[int]:
+        """Live keys in sorted order (compacts if needed)."""
+        if self._dirty or self._nstale:
+            self._compact()
+        return self._keys
 
     def __contains__(self, k) -> bool:
         return k in self.d
@@ -346,26 +366,35 @@ class NodeMap:
         if lst is None:
             lst = []
             self.d[k] = lst
-            insort(self.keys, k)
+            self._keys.append(k)
+            self._dirty = True
         return lst
 
     def erase(self, k) -> None:
         del self.d[k]
-        i = bisect_left(self.keys, k)
-        del self.keys[i]
+        self._nstale += 1
 
     def iter_from(self, k: Optional[int] = None) -> Iterator[int]:
-        """Iterate keys in order starting at the first key >= k (or the
-        smallest).  Tolerates insert/erase during iteration (re-bisect)."""
+        """Iterate live keys in order starting at the first key >= k (or
+        the smallest).  Tolerates insert/erase during iteration: each step
+        re-bisects (and re-sorts if a key was inserted mid-sweep), exactly
+        like advancing a std::map iterator."""
         cur = None
         while True:
+            if self._dirty:
+                self._compact()
+            elif self._nstale * 2 > len(self._keys):
+                self._compact()
+            ks = self._keys
             if cur is None:
-                i = 0 if k is None else bisect_left(self.keys, k)
+                i = 0 if k is None else bisect_left(ks, k)
             else:
-                i = bisect_right(self.keys, cur)
-            if i >= len(self.keys):
+                i = bisect_right(ks, cur)
+            while i < len(ks) and ks[i] not in self.d:  # skip stale
+                i += 1
+            if i >= len(ks):
                 return
-            cur = self.keys[i]
+            cur = ks[i]
             yield cur
 
     def __iter__(self) -> Iterator[int]:
