@@ -81,23 +81,29 @@ def compare_windows(a, b, bit1, bit2, n, *, interpret=False):
     a3 = jnp.transpose(a.reshape(w1, tiles, SUB * LANES), (1, 0, 2))
     b3 = jnp.transpose(b.reshape(w1, tiles, SUB * LANES), (1, 0, 2))
 
+    # index-map literals must be int32: under jax_enable_x64 a weak Python 0
+    # traces as i64 and Mosaic rejects the (i32, i64, i64) block-index
+    # function with "failed to legalize operation 'func.return'"
+    def _imap(i):
+        return (i, jnp.int32(0), jnp.int32(0))
+
     out = pl.pallas_call(
         _compare_kernel,
         out_shape=jax.ShapeDtypeStruct((tiles, SUB, LANES), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, w1, SUB * LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, w1, SUB * LANES), _imap,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w1, SUB * LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, w1, SUB * LANES), _imap,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, SUB, LANES), _imap,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, SUB, LANES), _imap,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, SUB, LANES), _imap,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, SUB, LANES), _imap,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(a3, b3, b1, b2, nn)
