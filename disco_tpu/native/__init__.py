@@ -221,12 +221,13 @@ def _overlap_lib():
             pu64 = ctypes.POINTER(ctypes.c_uint64)
             pi8 = ctypes.POINTER(ctypes.c_int8)
             pu8 = ctypes.POINTER(ctypes.c_uint8)
-            lib.overlap_relation.argtypes = [
+            lib.overlap_relation_collect.argtypes = [
                 pu32, pu32, p32, ctypes.c_int64, ctypes.c_int64,
-                pu64, p32, pi8, pi8, ctypes.c_int64,
-                ctypes.c_int64, ctypes.c_int64, p64,
-                p32, p32, p32, pi8, pi8, pu8, pu8]
-            lib.overlap_relation.restype = None
+                pu64, p32, pi8, pi8, ctypes.c_int64, ctypes.c_int64, p64]
+            lib.overlap_relation_collect.restype = ctypes.c_void_p
+            lib.overlap_relation_export.argtypes = [
+                ctypes.c_void_p, p32, p32, p32, pi8, pi8, pu8, pu8]
+            lib.overlap_relation_export.restype = None
             _OVERLAP = lib
     return _OVERLAP
 
@@ -255,33 +256,27 @@ def overlap_relation(packed: np.ndarray, packed_rc: np.ndarray,
     tread = np.ascontiguousarray(tread, np.int32)
     torient = np.ascontiguousarray(torient, np.int8)
     ttyp = np.ascontiguousarray(ttyp, np.int8)
-    counts = np.zeros(n + 1, np.int64)
-    args_common = (
+    total_c = ctypes.c_int64(0)
+    handle = lib.overlap_relation_collect(
         packed.ctypes.data_as(pu32), packed_rc.ctypes.data_as(pu32),
         lengths.ctypes.data_as(p32), n, row_words,
         keys.ctypes.data_as(pu64), tread.ctypes.data_as(p32),
-        torient.ctypes.data_as(pi8), ttyp.ctypes.data_as(pi8), m, k)
-    null32 = ctypes.cast(None, p32)
-    null8 = ctypes.cast(None, pi8)
-    nullu8 = ctypes.cast(None, pu8)
-    lib.overlap_relation(*args_common, 0, counts[1:].ctypes.data_as(p64),
-                         null32, null32, null32, null8, null8,
-                         nullu8, nullu8)
-    offsets = np.cumsum(counts)
-    total = int(offsets[-1])
+        torient.ctypes.data_as(pi8), ttyp.ctypes.data_as(pi8), m, k,
+        ctypes.byref(total_c))
+    total = total_c.value
     out = {
         "r1": np.empty(total, np.int32), "j": np.empty(total, np.int32),
         "r2": np.empty(total, np.int32), "orient": np.empty(total, np.int8),
         "typ": np.empty(total, np.int8), "cont_ok": np.empty(total, np.uint8),
         "edge_ok": np.empty(total, np.uint8)}
-    lib.overlap_relation(*args_common, 1, offsets.ctypes.data_as(p64),
-                         out["r1"].ctypes.data_as(p32),
-                         out["j"].ctypes.data_as(p32),
-                         out["r2"].ctypes.data_as(p32),
-                         out["orient"].ctypes.data_as(pi8),
-                         out["typ"].ctypes.data_as(pi8),
-                         out["cont_ok"].ctypes.data_as(pu8),
-                         out["edge_ok"].ctypes.data_as(pu8))
+    lib.overlap_relation_export(handle,
+                                out["r1"].ctypes.data_as(p32),
+                                out["j"].ctypes.data_as(p32),
+                                out["r2"].ctypes.data_as(p32),
+                                out["orient"].ctypes.data_as(pi8),
+                                out["typ"].ctypes.data_as(pi8),
+                                out["cont_ok"].ctypes.data_as(pu8),
+                                out["edge_ok"].ctypes.data_as(pu8))
     out["cont_ok"] = out["cont_ok"].astype(bool)
     out["edge_ok"] = out["edge_ok"].astype(bool)
     return out

@@ -11,12 +11,16 @@
 //
 // Emission order is the relation's required order by construction:
 // reads ascending, window j ascending, and within a bucket the table's
-// (file-index, record-type) sort order — no post-sort needed.
+// (file-index, record-type) sort order.
 //
-// Two-pass protocol (pass 0 counts per read, host prefix-sums, pass 1
-// fills), each pass parallel over reads; the output is bit-deterministic
-// for any thread count because every read owns a disjoint output slice.
+// Single-pass protocol: reads are split into fixed contiguous blocks;
+// threads claim blocks dynamically and append verified hits to the block's
+// own buffer, so concatenating buffers in block order is bit-deterministic
+// for any thread count (collect returns an opaque handle + total, export
+// copies the columns out and frees).  A count+fill two-pass design would
+// verify every candidate twice — verification IS the kernel's cost.
 #include <cstdint>
+#include <cstring>
 #include <vector>
 
 namespace {
@@ -53,25 +57,31 @@ struct Table {
   const int8_t* orient;
   const int8_t* typ;
   int64_t m;
-  // top-RBITS radix index narrowing the binary search range; at 24 bits a
-  // multi-million-entry table averages <1 entry per radix bucket, so most
-  // window lookups (the vast majority are misses) cost one indexed load
-  static constexpr int RBITS = 24;
-  static constexpr int RSHIFT = 64 - RBITS;
-  std::vector<int64_t> radix;
+  // top-RBITS radix index narrowing the binary search range.  RBITS is
+  // sized to ~4 buckets per entry so the index (uint32 slots) stays small
+  // enough to live in the last-level cache — the per-window lookup is one
+  // random load into this array, and with most windows being misses that
+  // load dominates the kernel when the index spills to DRAM.
+  int rbits = 16;
+  int rshift = 48;
+  std::vector<uint32_t> radix;
 
   void build_radix() {
-    radix.assign((int64_t(1) << RBITS) + 1, 0);
+    int b = 16;
+    while (b < 24 && (int64_t(1) << b) < 4 * m) ++b;
+    rbits = b;
+    rshift = 64 - b;
+    radix.assign((int64_t(1) << b) + 1, 0);
     int64_t pos = 0;
-    for (int64_t p = 0; p <= (int64_t(1) << RBITS); ++p) {
-      while (pos < m && (keys[pos] >> RSHIFT) < static_cast<uint64_t>(p))
+    for (int64_t p = 0; p <= (int64_t(1) << b); ++p) {
+      while (pos < m && (keys[pos] >> rshift) < static_cast<uint64_t>(p))
         ++pos;
-      radix[p] = pos;
+      radix[p] = static_cast<uint32_t>(pos);
     }
   }
 
   inline void lookup(uint64_t q, int64_t* lo_out, int64_t* hi_out) const {
-    const int64_t p = static_cast<int64_t>(q >> RSHIFT);
+    const int64_t p = static_cast<int64_t>(q >> rshift);
     int64_t lo = radix[p], hi = radix[p + 1];
     if (lo == hi) {
       *lo_out = lo;
@@ -95,22 +105,31 @@ struct Table {
   }
 };
 
+struct Hit {
+  int32_t r1, j, r2;
+  int8_t orient, typ;
+  uint8_t cont, edge;
+};
+
+struct Collected {
+  std::vector<std::vector<Hit>> blocks;
+};
+
+constexpr int64_t kBlockReads = 2048;
+
 }  // namespace
 
 extern "C" {
 
-// pass 0: out_counts[r] = number of kept hits of read r (other outputs may
-//         be null).
-// pass 1: offsets[r] = start slot of read r (host-computed prefix sums);
-//         fills out_* arrays.
-void overlap_relation(const uint32_t* packed, const uint32_t* packed_rc,
-                      const int32_t* lengths, int64_t n, int64_t row_words,
-                      const uint64_t* keys, const int32_t* tread,
-                      const int8_t* torient, const int8_t* ttyp, int64_t m,
-                      int64_t k, int64_t pass, int64_t* counts_or_offsets,
-                      int32_t* out_r1, int32_t* out_j, int32_t* out_r2,
-                      int8_t* out_orient, int8_t* out_typ, uint8_t* out_cont,
-                      uint8_t* out_edge) {
+// Scans all (read, window) queries, verifies candidates, and stores hits
+// grouped by contiguous read blocks.  Returns an opaque handle; *total_out
+// is the hit count.  Call overlap_relation_export exactly once to copy the
+// columns out and free the handle.
+void* overlap_relation_collect(
+    const uint32_t* packed, const uint32_t* packed_rc, const int32_t* lengths,
+    int64_t n, int64_t row_words, const uint64_t* keys, const int32_t* tread,
+    const int8_t* torient, const int8_t* ttyp, int64_t m, int64_t k,
+    int64_t* total_out) {
   Table t;
   t.keys = keys;
   t.read = tread;
@@ -122,72 +141,104 @@ void overlap_relation(const uint32_t* packed, const uint32_t* packed_rc,
   const int64_t kk = (k < 32) ? k : 32;
   const int64_t key_shift = 64 - 2 * kk;
 
-#pragma omp parallel for schedule(dynamic, 64)
-  for (int64_t r1 = 0; r1 < n; ++r1) {
-    const uint32_t* row1 = packed + r1 * row_words;
-    const int64_t len1 = lengths[r1];
-    int64_t slot = (pass == 1) ? counts_or_offsets[r1] : 0;
-    int64_t count = 0;
-    for (int64_t j = 0; j < len1 - k; ++j) {
-      // window code: first kk bases of window j, packed into the top bits
-      const int64_t wbase = j / 16;
-      const uint32_t phase = 2u * static_cast<uint32_t>(j % 16);
-      const uint64_t w0 = row1[wbase];
-      const uint64_t w1 = row1[wbase + 1];
-      // row has a trailing zero word; wbase+2 may step past it for j near
-      // the end of a max-length read, so clamp like the XLA path does
-      const int64_t i2 = (wbase + 2 < row_words) ? wbase + 2 : row_words - 1;
-      const uint64_t w2 = row1[i2];
-      const uint64_t hi = (w0 << 32) | w1;
-      const uint64_t win =
-          (phase == 0) ? hi : (hi << phase) | (w2 >> (32u - phase));
-      const uint64_t qcode = win >> key_shift;
+  auto* col = new Collected();
+  const int64_t n_blocks = (n + kBlockReads - 1) / kBlockReads;
+  col->blocks.resize(static_cast<size_t>(n_blocks));
 
-      int64_t lo, hiix;
-      t.lookup(qcode, &lo, &hiix);
-      for (int64_t p = lo; p < hiix; ++p) {
-        const int64_t r2 = t.read[p];
-        if (r2 == r1) continue;
-        const int32_t ho = t.orient[p];
-        const int64_t len2 = lengths[r2];
-        const bool suffix_case = (ho == 1) || (ho == 3);
-        const uint32_t* row2 =
-            ((ho == 2) || (ho == 3)) ? packed_rc + r2 * row_words
-                                     : packed + r2 * row_words;
-        // edge: proper suffix-prefix overlap extending to both ends
-        // (reference: OverlapGraph.cpp:567-595)
-        bool edge_ok = false;
-        if (j >= 1 &&
-            (suffix_case ? (j <= len2 - k) : (len1 - j < len2))) {
-          const int64_t en = suffix_case ? j + k : len1 - j;
-          const int64_t eo1 = suffix_case ? 0 : j;
-          const int64_t eo2 = suffix_case ? len2 - en : 0;
-          edge_ok = windows_equal(row1, eo1, row2, eo2, en);
-        }
-        // containment: read2 entirely inside read1
-        // (reference: OverlapGraph.cpp:517-554)
-        bool cont_ok = false;
-        if (suffix_case ? (j >= len2 - k) : (j + len2 <= len1)) {
-          const int64_t co1 = suffix_case ? j + k - len2 : j;
-          cont_ok = windows_equal(row1, co1, row2, 0, len2);
-        }
-        if (!(edge_ok || cont_ok)) continue;
-        if (pass == 1) {
-          out_r1[slot] = static_cast<int32_t>(r1);
-          out_j[slot] = static_cast<int32_t>(j);
-          out_r2[slot] = static_cast<int32_t>(r2);
-          out_orient[slot] = t.orient[p];
-          out_typ[slot] = t.typ[p];
-          out_cont[slot] = cont_ok ? 1 : 0;
-          out_edge[slot] = edge_ok ? 1 : 0;
-          ++slot;
-        } else {
-          ++count;
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t bi = 0; bi < n_blocks; ++bi) {
+    std::vector<Hit>& out = col->blocks[bi];
+    const int64_t r_end = ((bi + 1) * kBlockReads < n) ? (bi + 1) * kBlockReads
+                                                       : n;
+    for (int64_t r1 = bi * kBlockReads; r1 < r_end; ++r1) {
+      const uint32_t* row1 = packed + r1 * row_words;
+      const int64_t len1 = lengths[r1];
+      for (int64_t j = 0; j < len1 - k; ++j) {
+        // window code: first kk bases of window j, packed into the top bits
+        const int64_t wbase = j / 16;
+        const uint32_t phase = 2u * static_cast<uint32_t>(j % 16);
+        const uint64_t w0 = row1[wbase];
+        const uint64_t w1 = row1[wbase + 1];
+        // row has a trailing zero word; wbase+2 may step past it for j near
+        // the end of a max-length read, so clamp like the XLA path does
+        const int64_t i2 = (wbase + 2 < row_words) ? wbase + 2 : row_words - 1;
+        const uint64_t w2 = row1[i2];
+        const uint64_t hi = (w0 << 32) | w1;
+        const uint64_t win =
+            (phase == 0) ? hi : (hi << phase) | (w2 >> (32u - phase));
+        const uint64_t qcode = win >> key_shift;
+
+        int64_t lo, hiix;
+        t.lookup(qcode, &lo, &hiix);
+        for (int64_t p = lo; p < hiix; ++p) {
+          const int64_t r2 = t.read[p];
+          if (r2 == r1) continue;
+          const int32_t ho = t.orient[p];
+          const int64_t len2 = lengths[r2];
+          const bool suffix_case = (ho == 1) || (ho == 3);
+          const uint32_t* row2 =
+              ((ho == 2) || (ho == 3)) ? packed_rc + r2 * row_words
+                                       : packed + r2 * row_words;
+          // edge: proper suffix-prefix overlap extending to both ends
+          // (reference: OverlapGraph.cpp:567-595)
+          bool edge_ok = false;
+          if (j >= 1 &&
+              (suffix_case ? (j <= len2 - k) : (len1 - j < len2))) {
+            const int64_t en = suffix_case ? j + k : len1 - j;
+            const int64_t eo1 = suffix_case ? 0 : j;
+            const int64_t eo2 = suffix_case ? len2 - en : 0;
+            edge_ok = windows_equal(row1, eo1, row2, eo2, en);
+          }
+          // containment: read2 entirely inside read1
+          // (reference: OverlapGraph.cpp:517-554)
+          bool cont_ok = false;
+          if (suffix_case ? (j >= len2 - k) : (j + len2 <= len1)) {
+            const int64_t co1 = suffix_case ? j + k - len2 : j;
+            cont_ok = windows_equal(row1, co1, row2, 0, len2);
+          }
+          if (!(edge_ok || cont_ok)) continue;
+          out.push_back(Hit{static_cast<int32_t>(r1),
+                            static_cast<int32_t>(j),
+                            static_cast<int32_t>(r2), t.orient[p], t.typ[p],
+                            static_cast<uint8_t>(cont_ok ? 1 : 0),
+                            static_cast<uint8_t>(edge_ok ? 1 : 0)});
         }
       }
     }
-    if (pass == 0) counts_or_offsets[r1] = count;
   }
+
+  int64_t total = 0;
+  for (const auto& b : col->blocks) total += static_cast<int64_t>(b.size());
+  *total_out = total;
+  return col;
+}
+
+// Copies the collected hits into column arrays (block order = read order)
+// and frees the handle.
+void overlap_relation_export(void* handle, int32_t* out_r1, int32_t* out_j,
+                             int32_t* out_r2, int8_t* out_orient,
+                             int8_t* out_typ, uint8_t* out_cont,
+                             uint8_t* out_edge) {
+  auto* col = static_cast<Collected*>(handle);
+  const int64_t n_blocks = static_cast<int64_t>(col->blocks.size());
+  std::vector<int64_t> offs(n_blocks + 1, 0);
+  for (int64_t bi = 0; bi < n_blocks; ++bi)
+    offs[bi + 1] = offs[bi] + static_cast<int64_t>(col->blocks[bi].size());
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int64_t bi = 0; bi < n_blocks; ++bi) {
+    int64_t slot = offs[bi];
+    for (const Hit& h : col->blocks[bi]) {
+      out_r1[slot] = h.r1;
+      out_j[slot] = h.j;
+      out_r2[slot] = h.r2;
+      out_orient[slot] = h.orient;
+      out_typ[slot] = h.typ;
+      out_cont[slot] = h.cont;
+      out_edge[slot] = h.edge;
+      ++slot;
+    }
+  }
+  delete col;
 }
 
 }  // extern "C"
