@@ -123,8 +123,10 @@ def build_graph_replay_native(rel: OverlapRelation, store: ReadStore,
     (which remains the parity oracle); returns the parGraph file content."""
     from .. import native
     n = store.n_reads
-    starts, ej, er2, eo = _edge_hit_groups(rel, store, superread)
-    all_marked = (superread[:n + 1] != 0).astype(np.uint8)
+    contained = (superread[:n + 1] != 0).astype(np.uint8)
+    starts, ej, er2, eo = native.edge_hit_groups(
+        rel.r1, rel.j, rel.r2, rel.orient, rel.edge_ok, contained, n)
+    all_marked = contained.copy()
     all_marked[0] = 1
     return native.graph_replay(n, rel.k, write_par_graph_size, starts,
                                ej, er2, eo, store.lengths,

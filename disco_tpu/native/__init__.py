@@ -85,7 +85,7 @@ def _replay_lib():
     global _REPLAY
     with _LOCK:
         if _REPLAY is None:
-            lib = _compile("replay", opt="-O2")
+            lib = _compile("replay", opt="-O2", extra=("-fopenmp",))
             p64 = ctypes.POINTER(ctypes.c_int64)
             p32 = ctypes.POINTER(ctypes.c_int32)
             pi8 = ctypes.POINTER(ctypes.c_int8)
@@ -96,6 +96,13 @@ def _replay_lib():
             lib.graph_replay.restype = ctypes.c_void_p
             lib.replay_free.argtypes = [ctypes.c_void_p]
             lib.replay_free.restype = None
+            lib.edge_group_count.argtypes = [p32, p32, pu8, pu8,
+                                             ctypes.c_int64]
+            lib.edge_group_count.restype = ctypes.c_int64
+            lib.edge_group_fill.argtypes = [p32, p32, p32, pi8, pu8, pu8,
+                                            ctypes.c_int64, ctypes.c_int64,
+                                            p32, p32, pi8, p64]
+            lib.edge_group_fill.restype = None
             _REPLAY = lib
     return _REPLAY
 
@@ -126,6 +133,38 @@ def graph_replay(n: int, k: int, wpgs: int, starts, ej, er2, eo, lens, fidx,
         return ctypes.string_at(ptr, size.value)
     finally:
         lib.replay_free(ptr)
+
+
+def edge_hit_groups(r1, j, r2, orient, edge_ok, contained, n: int):
+    """Filter the relation to edge rows with both endpoints uncontained and
+    compact (j, r2+1, orient) preserving order, plus per-read group bounds
+    `starts` (group of 1-based read r = [starts[r-1], starts[r]))."""
+    lib = _replay_lib()
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    pi8 = ctypes.POINTER(ctypes.c_int8)
+    pu8 = ctypes.POINTER(ctypes.c_uint8)
+    r1 = np.ascontiguousarray(r1, np.int32)
+    j = np.ascontiguousarray(j, np.int32)
+    r2 = np.ascontiguousarray(r2, np.int32)
+    orient = np.ascontiguousarray(orient, np.int8)
+    edge_ok = np.ascontiguousarray(edge_ok, np.uint8)
+    contained = np.ascontiguousarray(contained, np.uint8)
+    nrows = len(r1)
+    total = lib.edge_group_count(
+        r1.ctypes.data_as(p32), r2.ctypes.data_as(p32),
+        edge_ok.ctypes.data_as(pu8), contained.ctypes.data_as(pu8), nrows)
+    out_j = np.empty(total, np.int32)
+    out_r2 = np.empty(total, np.int32)
+    out_eo = np.empty(total, np.int8)
+    starts = np.empty(n + 1, np.int64)
+    lib.edge_group_fill(
+        r1.ctypes.data_as(p32), j.ctypes.data_as(p32),
+        r2.ctypes.data_as(p32), orient.ctypes.data_as(pi8),
+        edge_ok.ctypes.data_as(pu8), contained.ctypes.data_as(pu8),
+        nrows, n, out_j.ctypes.data_as(p32), out_r2.ctypes.data_as(p32),
+        out_eo.ctypes.data_as(pi8), starts.ctypes.data_as(p64))
+    return starts, out_j, out_r2, out_eo
 
 
 # ---------------------------------------------------------------------------
