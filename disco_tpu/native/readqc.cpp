@@ -108,16 +108,20 @@ extern "C" void qc_test_reads(const char* data, const int64_t* offsets,
 
 // Pack reads into (n, n_words+1) uint32 rows (last word zero pad), forward
 // and reverse-complement.  Returns the index of the first read containing a
-// non-ACGT base, or -1 on success.
-extern "C" int64_t pack_reads(const char* data, const int64_t* offsets,
-                              int64_t n, int64_t n_words, uint32_t* packed,
-                              uint32_t* packed_rc) {
+// non-ACGT base, or -1 on success.  `order` (may be null for identity)
+// selects which record lands in each output row: row i <- record order[i].
+extern "C" int64_t pack_reads_ordered(const char* data,
+                                      const int64_t* offsets,
+                                      const int64_t* order, int64_t n,
+                                      int64_t n_words, uint32_t* packed,
+                                      uint32_t* packed_rc) {
   const int64_t stride = n_words + 1;
   int64_t bad = -1;
 #pragma omp parallel for schedule(dynamic, 1024)
   for (int64_t i = 0; i < n; ++i) {
-    const char* s = data + offsets[i];
-    const int64_t len = offsets[i + 1] - offsets[i];
+    const int64_t rec = order ? order[i] : i;
+    const char* s = data + offsets[rec];
+    const int64_t len = offsets[rec + 1] - offsets[rec];
     uint32_t* pf = packed + i * stride;
     uint32_t* pr = packed_rc + i * stride;
     std::memset(pf, 0, stride * sizeof(uint32_t));

@@ -34,12 +34,15 @@ constexpr int8_t WRITTEN = 3;
 const int EDGE_ORIENT[4] = {3, 0, 2, 1};  // OverlapGraph.cpp:660-666
 const int TWIN_ORIENT[4] = {3, 1, 2, 0};  // OverlapGraph.cpp:770-784
 
+// compact edge record: 20 bytes, addressed by pool index (int32) so the
+// pool vector may relocate as it grows; read IDs and offsets fit int32
+// (reads are <2^31 and offsets bounded by read length)
 struct Edge {
-  int64_t src, dst;
-  int32_t orient;
-  int64_t offset;
-  Edge* twin;
-  bool trans;
+  int32_t src, dst;
+  int32_t offset;
+  int32_t twin;  // pool index of the twin edge
+  int8_t orient;
+  int8_t trans;
 };
 
 struct Replayer {
@@ -57,13 +60,13 @@ struct Replayer {
   // per-component state (stamp-free: reset via touched list)
   std::vector<int8_t> explored;           // (n+1,) node state
   std::vector<uint8_t> in_adj;            // (n+1,)
-  std::vector<std::vector<Edge*>> adj;    // (n+1,)
+  std::vector<std::vector<int32_t>> adj;  // (n+1,) pool indices
   std::vector<int64_t> touched;           // nodes with adj entries
-  std::vector<int64_t> inserted_stamp;    // (n+1,) insert_all_edges dedupe
-  int64_t stamp = 0;
-  std::vector<int64_t> marked_stamp;      // (n+1,) mark_transitive presence
+  std::vector<int32_t> inserted_stamp;    // (n+1,) insert_all_edges dedupe
+  int32_t stamp = 0;
+  std::vector<int32_t> marked_stamp;      // (n+1,) mark_transitive presence
   std::vector<int8_t> marked_val;         // (n+1,) 0=INPLAY 1=ELIMINATED
-  std::deque<Edge> pool;
+  std::vector<Edge> pool;
 
   std::string out;
 
@@ -80,9 +83,8 @@ struct Replayer {
   }
 
   void insert_all_edges(int64_t r1) {
-    const int64_t len1 = lens[r1 - 1];
+    const int32_t len1 = lens[r1 - 1];
     ensure_adj(r1);
-    auto& lst = adj[r1];
     ++stamp;
     int64_t cur_j = -1;
     int ctr = 0;
@@ -93,30 +95,32 @@ struct Replayer {
         ctr = 0;
       }
       if (ctr >= MAX_EDGE_PER_KMER) continue;
-      const int64_t r2 = er2[idx];
+      const int32_t r2 = er2[idx];
       if (explored[r2] != NOT_EXPLORED) continue;
       if (inserted_stamp[r2] == stamp) continue;
       const int32_t ho = eo[idx];
-      const int64_t len2 = lens[r2 - 1];
-      const int64_t ovl = overlap_len(ho, j, len1);
-      const int32_t orient = EDGE_ORIENT[ho];
-      const int64_t offset = len1 - ovl;
-      pool.push_back(Edge{r1, r2, orient, offset, nullptr, false});
-      Edge* e = &pool.back();
-      pool.push_back(Edge{r2, r1, TWIN_ORIENT[orient],
-                          len2 + offset - len1, e, false});
-      Edge* te = &pool.back();
-      e->twin = te;
-      lst.push_back(e);
+      const int32_t len2 = lens[r2 - 1];
+      const int32_t ovl = static_cast<int32_t>(overlap_len(ho, j, len1));
+      const int8_t orient = static_cast<int8_t>(EDGE_ORIENT[ho]);
+      const int32_t offset = len1 - ovl;
+      const int32_t ei = static_cast<int32_t>(pool.size());
+      pool.push_back(Edge{static_cast<int32_t>(r1), r2, offset, ei + 1,
+                          orient, 0});
+      pool.push_back(Edge{r2, static_cast<int32_t>(r1),
+                          len2 + offset - len1, ei,
+                          static_cast<int8_t>(TWIN_ORIENT[orient]), 0});
+      adj[r1].push_back(ei);
       ensure_adj(r2);
-      adj[r2].push_back(te);
+      adj[r2].push_back(ei + 1);
       inserted_stamp[r2] = stamp;
       ++ctr;
     }
+    auto& lst = adj[r1];
     if (!lst.empty()) {
+      const Edge* base = pool.data();
       std::sort(lst.begin(), lst.end(),
-                [](const Edge* a, const Edge* b) {
-                  return a->offset < b->offset;
+                [base](int32_t a, int32_t b) {
+                  return base[a].offset < base[b].offset;
                 });
     }
   }
@@ -124,19 +128,23 @@ struct Replayer {
   void mark_transitive(int64_t r) {
     ++stamp;  // reuse the stamp counter for the marked map too
     auto& lst = adj[r];
-    for (Edge* e : lst) {
-      if (marked_stamp[e->dst] != stamp) {
-        marked_stamp[e->dst] = stamp;
-        marked_val[e->dst] = 0;  // INPLAY
+    Edge* base = pool.data();
+    for (int32_t ei : lst) {
+      const int32_t d = base[ei].dst;
+      if (marked_stamp[d] != stamp) {
+        marked_stamp[d] = stamp;
+        marked_val[d] = 0;  // INPLAY
       }
     }
-    for (Edge* e : lst) {
-      const int64_t r2 = e->dst;
+    for (int32_t ei : lst) {
+      const Edge& e = base[ei];
+      const int32_t r2 = e.dst;
       if (marked_val[r2] == 0 && marked_stamp[r2] == stamp) {
-        for (Edge* e2 : adj[r2]) {
-          const int64_t r3 = e2->dst;
+        for (int32_t ei2 : adj[r2]) {
+          const Edge& e2 = base[ei2];
+          const int32_t r3 = e2.dst;
           if (marked_stamp[r3] == stamp && marked_val[r3] == 0) {
-            const int t1 = e->orient, t2 = e2->orient;
+            const int t1 = e.orient, t2 = e2.orient;
             if (((t1 == 0 || t1 == 2) && (t2 == 0 || t2 == 1)) ||
                 ((t1 == 1 || t1 == 3) && (t2 == 2 || t2 == 3))) {
               marked_val[r3] = 1;  // ELIMINATED
@@ -145,16 +153,17 @@ struct Replayer {
         }
       }
     }
-    for (Edge* e : lst) {
-      if (marked_stamp[e->dst] == stamp && marked_val[e->dst] == 1) {
-        e->trans = true;
-        e->twin->trans = true;
+    for (int32_t ei : lst) {
+      Edge& e = base[ei];
+      if (marked_stamp[e.dst] == stamp && marked_val[e.dst] == 1) {
+        e.trans = 1;
+        base[e.twin].trans = 1;
       }
     }
   }
 
-  void delete_twin(Edge* twin) {
-    auto& l2 = adj[twin->src];
+  void delete_twin(int32_t twin) {
+    auto& l2 = adj[pool[twin].src];
     for (size_t i = 0; i < l2.size(); ++i) {
       if (l2[i] == twin) {
         l2[i] = l2.back();
@@ -167,11 +176,11 @@ struct Replayer {
   void remove_transitive(int64_t r) {
     auto& lst = adj[r];
     for (size_t i = 0; i < lst.size(); ++i) {
-      if (lst[i]->trans) delete_twin(lst[i]->twin);
+      if (pool[lst[i]].trans) delete_twin(pool[lst[i]].twin);
     }
     size_t w = 0;
     for (size_t i = 0; i < lst.size(); ++i) {
-      if (!lst[i]->trans) lst[w++] = lst[i];
+      if (!pool[lst[i]].trans) lst[w++] = lst[i];
     }
     lst.resize(w);
   }
@@ -203,23 +212,24 @@ struct Replayer {
       if (lst.empty() || explored[rid] == NOT_EXPLORED) continue;
       if (explored[rid] != REMOVED) continue;
       for (size_t idx = 0; idx < lst.size(); ++idx) {
-        Edge* e = lst[idx];
-        Edge* te = e->twin;
-        const int64_t src = e->src, dst = e->dst;
+        const Edge& e = pool[lst[idx]];
+        const int32_t ti = e.twin;
+        const Edge& te = pool[ti];
+        const int64_t src = e.src, dst = e.dst;
         if (src < dst) {
           const int64_t src_len = lens[src - 1];
-          const int64_t ovl = src_len - e->offset;
+          const int64_t ovl = src_len - e.offset;
           const int flag = (explored[dst] == REMOVED) ? 2 : 0;
-          emit(fidx[src - 1], fidx[dst - 1], e->orient, ovl, src_len,
-               e->offset, lens[dst - 1], flag);
+          emit(fidx[src - 1], fidx[dst - 1], e.orient, ovl, src_len,
+               e.offset, lens[dst - 1], flag);
         } else {
-          const int64_t src_len = lens[dst - 1];  // twin's source = e->dst
-          const int64_t ovl = src_len - te->offset;
+          const int64_t src_len = lens[dst - 1];  // twin's source = e.dst
+          const int64_t ovl = src_len - te.offset;
           const int flag = (explored[dst] == REMOVED) ? 2 : 1;
-          emit(fidx[dst - 1], fidx[src - 1], te->orient, ovl, src_len,
-               te->offset, lens[src - 1], flag);
+          emit(fidx[dst - 1], fidx[src - 1], te.orient, ovl, src_len,
+               te.offset, lens[src - 1], flag);
         }
-        delete_twin(te);
+        delete_twin(ti);
       }
       in_adj[rid] = 0;
       adj[rid].clear();
@@ -263,7 +273,7 @@ struct Replayer {
           if (!adj[r1].empty()) {
             if (explored[r1] == EXPLORED) {
               for (size_t i1 = 0; i1 < adj[r1].size(); ++i1) {
-                const int64_t r2 = adj[r1][i1]->dst;
+                const int64_t r2 = pool[adj[r1][i1]].dst;
                 if (explored[r2] == NOT_EXPLORED) {
                   q.push_back(r2);
                   insert_all_edges(r2);
@@ -275,10 +285,10 @@ struct Replayer {
             }
             if (explored[r1] == MARKED) {
               for (size_t i1 = 0; i1 < adj[r1].size(); ++i1) {
-                const int64_t r2 = adj[r1][i1]->dst;
+                const int64_t r2 = pool[adj[r1][i1]].dst;
                 if (explored[r2] == EXPLORED) {
                   for (size_t i2 = 0; i2 < adj[r2].size(); ++i2) {
-                    const int64_t r3 = adj[r2][i2]->dst;
+                    const int64_t r3 = pool[adj[r2][i2]].dst;
                     if (explored[r3] == NOT_EXPLORED) {
                       q.push_back(r3);
                       insert_all_edges(r3);
