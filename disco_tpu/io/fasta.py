@@ -19,6 +19,15 @@ def _open(path: str):
     return open(path, "r")
 
 
+def read_bytes(path: str) -> bytes:
+    """Whole-file raw bytes, transparently gunzipped (native-scan input)."""
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def read_records(path: str) -> Iterator[str]:
     """Yield upper-cased sequence strings, one per record, in file order."""
     with _open(path) as f:

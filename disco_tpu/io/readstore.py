@@ -56,47 +56,43 @@ class ReadStore:
         (reference: Dataset.cpp:346-370).  Below 66 full blocks this
         degenerates to pure LIFO + remainder.  False gives natural file
         order (the sane default for native mode)."""
-        seqs: List[str] = []
-        findx: List[int] = []
+        per_file = []  # (blob, offsets, kept_order) for the packing pass
+        findx_parts: List[np.ndarray] = []
+        len_parts: List[np.ndarray] = []
         ranges: List[Tuple[str, bool, int, int]] = []
         file_index = 0
+        n_kept = 0
         lines = []
         for group, is_paired in ((paired_files, True), (single_files, False)):
             for i, path in enumerate(group):
-                start_id = len(seqs)
+                start_id = n_kept
                 start_findx = file_index
-                recs = []
-                for seq in fasta.read_records(path):
-                    file_index += 1
-                    recs.append((file_index, seq))
-                # batched native QC over the whole file (one call, OMP inside)
-                blob = "".join(seq for _, seq in recs).encode()
-                offs = np.zeros(len(recs) + 1, np.int64)
-                np.cumsum([len(seq) for _, seq in recs], out=offs[1:])
+                blob, offs = native.seq_scan(fasta.read_bytes(path))
+                n_rec = len(offs) - 1
                 keep = native.qc_test_reads(blob, offs, min_overlap)
                 bs = cls.READ_TASK_BLOCK + 1
-                blocks = [recs[s:s + bs] for s in range(0, len(recs), bs)]
-                keep_blocks = [keep[s:s + bs] for s in range(0, len(recs), bs)]
-                if reference_task_order and blocks:
-                    nfull = len(blocks) if len(blocks[-1]) == bs \
-                        else len(blocks) - 1
+                n_blocks = (n_rec + bs - 1) // bs
+                if reference_task_order and n_blocks:
+                    nfull = n_blocks if n_rec % bs == 0 else n_blocks - 1
                     ndefer = min(nfull, 65)  # libgomp throttle, 1 thread
-                    perm = (list(range(ndefer, nfull))        # inline @spawn
+                    perm = (list(range(ndefer, nfull))         # inline @spawn
                             + list(range(ndefer - 1, -1, -1))  # taskwait LIFO
-                            + ([nfull] if nfull < len(blocks) else []))
-                    order = [blocks[i] for i in perm]
-                    keep_order = [keep_blocks[i] for i in perm]
+                            + ([nfull] if nfull < n_blocks else []))
                 else:
-                    order = blocks
-                    keep_order = keep_blocks
-                for block, kb in zip(order, keep_order):
-                    for (fi, seq), ok in zip(block, kb):
-                        if ok:
-                            seqs.append(seq)
-                            findx.append(fi)
-                if len(seqs) == start_id:
+                    perm = list(range(n_blocks))
+                rec_order = np.concatenate(
+                    [np.arange(b * bs, min((b + 1) * bs, n_rec))
+                     for b in perm]) if n_blocks else np.zeros(0, np.int64)
+                kept_order = rec_order[keep[rec_order]]
+                per_file.append((blob, offs, kept_order))
+                findx_parts.append(file_index + 1 + kept_order)
+                len_parts.append(
+                    (offs[kept_order + 1] - offs[kept_order]).astype(np.int32))
+                n_kept += len(kept_order)
+                file_index += n_rec
+                if n_kept == start_id:
                     raise ValueError(f"File empty. No reads loaded from {path}")
-                ranges.append((path, is_paired, start_id + 1, len(seqs)))
+                ranges.append((path, is_paired, start_id + 1, n_kept))
                 kind = "Paired-end" if is_paired else "Singleton"
                 # reference: Dataset.cpp:115-127 — the "ReadID Range" recorded
                 # is actually the file-index (record) range
@@ -106,7 +102,18 @@ class ReadStore:
             # reference: src/BuildGraph/src/Dataset.cpp:103-128
             with open(id_map_path, "w") as f:
                 f.writelines(lines)
-        store = cls.from_sequences(seqs, file_index=np.asarray(findx, np.int64))
+        lengths = np.concatenate(len_parts)
+        max_len = int(lengths.max())
+        n_words = (max_len + dna.BASES_PER_WORD - 1) // dna.BASES_PER_WORD
+        parts = [native.pack_reads(blob, offs, n_words, order=kept)
+                 for blob, offs, kept in per_file]
+        packed = parts[0][0] if len(parts) == 1 else np.vstack(
+            [p[0] for p in parts])
+        packed_rc = parts[0][1] if len(parts) == 1 else np.vstack(
+            [p[1] for p in parts])
+        store = cls(n_reads=n_kept, max_len=max_len, n_words=n_words,
+                    lengths=lengths, file_index=np.concatenate(findx_parts),
+                    packed=packed, packed_rc=packed_rc)
         store.dataset_ranges = ranges
         store.min_overlap = min_overlap
         return store

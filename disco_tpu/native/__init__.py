@@ -207,6 +207,15 @@ def _readqc_lib():
                 ctypes.c_char_p, p64, ctypes.c_int64, ctypes.c_int64,
                 pu32, pu32]
             lib.pack_reads.restype = ctypes.c_int64
+            lib.pack_reads_ordered.argtypes = [
+                ctypes.c_char_p, p64, p64, ctypes.c_int64, ctypes.c_int64,
+                pu32, pu32]
+            lib.pack_reads_ordered.restype = ctypes.c_int64
+            lib.seq_scan_count.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            lib.seq_scan_count.restype = ctypes.c_int64
+            lib.seq_scan_fill.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                          ctypes.c_char_p, p64]
+            lib.seq_scan_fill.restype = ctypes.c_int64
             _READQC = lib
     return _READQC
 
@@ -219,28 +228,60 @@ def qc_test_reads(blob: bytes, offsets: np.ndarray,
     n = len(offsets) - 1
     out = np.empty(n, np.uint8)
     lib = _readqc_lib()
-    lib.qc_test_reads(blob, offsets.ctypes.data_as(
+    lib.qc_test_reads(_as_char_p(blob), offsets.ctypes.data_as(
         ctypes.POINTER(ctypes.c_int64)), n, min_overlap,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out.astype(bool)
 
 
-def pack_reads(blob: bytes, offsets: np.ndarray, n_words: int):
+def pack_reads(blob: bytes, offsets: np.ndarray, n_words: int,
+               order: "np.ndarray | None" = None):
     """2-bit pack reads (forward + reverse complement) into
-    (n, n_words+1) uint32 rows with one zero pad word each.
+    (n, n_words+1) uint32 rows with one zero pad word each; row i packs
+    record order[i] (identity when order is None).
     Raises ValueError on a non-ACGT base."""
     offsets = np.ascontiguousarray(offsets, np.int64)
-    n = len(offsets) - 1
+    lib = _readqc_lib()
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    pu32 = ctypes.POINTER(ctypes.c_uint32)
+    if order is None:
+        n = len(offsets) - 1
+        order_p = ctypes.cast(None, p64)
+    else:
+        order = np.ascontiguousarray(order, np.int64)
+        n = len(order)
+        order_p = order.ctypes.data_as(p64)
     packed = np.empty((n, n_words + 1), np.uint32)
     packed_rc = np.empty((n, n_words + 1), np.uint32)
-    lib = _readqc_lib()
-    pu32 = ctypes.POINTER(ctypes.c_uint32)
-    bad = lib.pack_reads(blob, offsets.ctypes.data_as(
-        ctypes.POINTER(ctypes.c_int64)), n, n_words,
+    bad = lib.pack_reads_ordered(
+        _as_char_p(blob), offsets.ctypes.data_as(p64), order_p, n, n_words,
         packed.ctypes.data_as(pu32), packed_rc.ctypes.data_as(pu32))
     if bad >= 0:
         raise ValueError(f"non-ACGT base in read {bad + 1}")
     return packed, packed_rc
+
+
+def _as_char_p(x):
+    if isinstance(x, bytes):
+        return x
+    return x.ctypes.data_as(ctypes.c_char_p)
+
+
+def seq_scan(raw: bytes):
+    """Parse a FASTA/FASTQ byte buffer into (seq_blob, offsets): upper-cased
+    concatenated record sequences (uint8 array) + (n+1,) boundaries.
+    Raises ValueError on an unknown leading byte."""
+    lib = _readqc_lib()
+    size = len(raw)
+    n = lib.seq_scan_count(raw, size)
+    if n < 0:
+        raise ValueError("Unknown input file format")
+    offsets = np.zeros(n + 1, np.int64)
+    buf = np.empty(max(size, 1), np.uint8)
+    total = lib.seq_scan_fill(raw, size, _as_char_p(buf),
+                              offsets.ctypes.data_as(
+                                  ctypes.POINTER(ctypes.c_int64)))
+    return buf[:total], offsets
 
 
 # ---------------------------------------------------------------------------

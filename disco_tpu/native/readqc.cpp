@@ -68,13 +68,38 @@ inline int code_of(unsigned char c) {
   }
 }
 
+// Prescreen codes for the mer filter: a non-overlapping occurrence count is
+// bounded by the OVERLAPPING count of any substring of the mer, so one
+// histogram pass over the read lets almost every exact scan be skipped
+// ("GGGGCC" is screened by its "GC" dimer).  The exact count_nonoverlap is
+// only run when the bound clears the threshold, so results are unchanged.
+struct MerScreen {
+  int8_t kind;   // 2 = dimer code, 3 = trimer code
+  int8_t code;
+};
+constexpr MerScreen MER_SCREEN[N_MER] = {
+    {2, 0x1}, {2, 0x2}, {2, 0x3}, {2, 0x6}, {2, 0x7}, {2, 0xB},
+    {3, 003}, {3, 014}, {3, 060}, {3, 001}, {3, 004}, {3, 020},
+    {3, 002}, {3, 010}, {3, 040}, {2, 0x9 /* GC of GGGGCC */},
+};
+
 inline bool test_read(const char* s, int64_t n, int64_t min_overlap) {
   if (n <= min_overlap || n < MIN_READ_SIZE) return false;
   int64_t counts[4] = {0, 0, 0, 0};
-  for (int64_t i = 0; i < n; ++i) {
+  int64_t dimer[16] = {0};
+  int64_t trimer[64] = {0};
+  int c0 = code_of(static_cast<unsigned char>(s[0]));
+  if (c0 < 0) return false;
+  ++counts[c0];
+  int prev = c0, prev2 = -1;
+  for (int64_t i = 1; i < n; ++i) {
     int c = code_of(static_cast<unsigned char>(s[i]));
     if (c < 0) return false;
     ++counts[c];
+    ++dimer[(prev << 2) | c];
+    if (prev2 >= 0) ++trimer[(prev2 << 4) | (prev << 2) | c];
+    prev2 = prev;
+    prev = c;
   }
   int64_t maxc = counts[0];
   for (int k = 1; k < 4; ++k)
@@ -91,6 +116,11 @@ inline bool test_read(const char* s, int64_t n, int64_t min_overlap) {
   for (int f = 0; f < N_MER; ++f) {
     const char* mer = MER_STRINGS[f];
     int64_t m = static_cast<int64_t>(std::strlen(mer));
+    const MerScreen& ms = MER_SCREEN[f];
+    const int64_t bound =
+        (ms.kind == 2) ? dimer[static_cast<int>(ms.code)]
+                       : trimer[static_cast<int>(ms.code)];
+    if (bound * m < half) continue;
     if (count_nonoverlap(s, n, mer, m) * m >= half) return false;
   }
   return true;
@@ -139,4 +169,135 @@ extern "C" int64_t pack_reads_ordered(const char* data,
     }
   }
   return bad;
+}
+
+// Back-compat identity-order entry point (parity oracle callers).
+extern "C" int64_t pack_reads(const char* data, const int64_t* offsets,
+                              int64_t n, int64_t n_words, uint32_t* packed,
+                              uint32_t* packed_rc) {
+  return pack_reads_ordered(data, offsets, nullptr, n, n_words, packed,
+                            packed_rc);
+}
+
+// ---------------------------------------------------------------------------
+// FASTA/FASTQ record scanner (native ingest path).
+//
+// Replicates disco_tpu/io/fasta.py::read_records byte-for-byte (itself a
+// replay of the reference parser, src/BuildGraph/src/Dataset.cpp:260-304):
+// FASTA records are the nonempty '>'-delimited segments, sequence = bytes
+// after the first '\n' with '\n' (only) removed; FASTQ records are strict
+// 4-line groups, sequence = line 2 with surrounding whitespace stripped.
+// Both upper-cased.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline char upper(char c) {
+  return (c >= 'a' && c <= 'z') ? static_cast<char>(c - 32) : c;
+}
+
+inline bool is_space(char c) {
+  return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\v' ||
+         c == '\f';
+}
+
+}  // namespace
+
+namespace {
+
+// position just past the next '\n' (or size at EOF)
+inline int64_t skip_line(const char* data, int64_t i, int64_t size) {
+  const char* p = static_cast<const char*>(
+      std::memchr(data + i, '\n', static_cast<size_t>(size - i)));
+  return p ? (p - data) + 1 : size;
+}
+
+}  // namespace
+
+// pass 1: record count. Returns -1 for an unknown leading byte.
+extern "C" int64_t seq_scan_count(const char* data, int64_t size) {
+  if (size == 0) return 0;
+  if (data[0] == '>') {
+    int64_t n = 0, i = 1;
+    for (;;) {
+      const char* p = static_cast<const char*>(
+          std::memchr(data + i, '>', static_cast<size_t>(size - i)));
+      const int64_t end = p ? p - data : size;
+      if (end > i) ++n;
+      if (!p) break;
+      i = end + 1;
+    }
+    return n;
+  }
+  if (data[0] == '@') {
+    int64_t i = skip_line(data, 0, size);  // header line
+    int64_t n = 0;
+    while (i < size) {
+      ++n;  // seq line (possibly empty — python readline yields "\n")
+      i = skip_line(data, i, size);        // seq
+      if (i < size) i = skip_line(data, i, size);  // '+'
+      if (i < size) i = skip_line(data, i, size);  // quals
+      if (i >= size) break;  // EOF at next header -> stop
+      i = skip_line(data, i, size);        // header
+    }
+    return n;
+  }
+  return -1;
+}
+
+// pass 2: write upper-cased sequence bytes to seq_out (caller sizes it at
+// `size` bytes — an upper bound) and record boundaries to offsets
+// (n_records+1, offsets[0]=0).  Returns total sequence bytes.
+extern "C" int64_t seq_scan_fill(const char* data, int64_t size,
+                                 char* seq_out, int64_t* offsets) {
+  int64_t w = 0, r = 0;
+  offsets[0] = 0;
+  if (size == 0) return 0;
+  const auto copy_upper = [&](int64_t from, int64_t to) {
+    for (int64_t p = from; p < to; ++p) seq_out[w++] = upper(data[p]);
+  };
+  if (data[0] == '>') {
+    int64_t i = 1;
+    for (;;) {
+      const char* gp = static_cast<const char*>(
+          std::memchr(data + i, '>', static_cast<size_t>(size - i)));
+      const int64_t end = gp ? gp - data : size;
+      if (end > i) {
+        const char* np = static_cast<const char*>(
+            std::memchr(data + i, '\n', static_cast<size_t>(end - i)));
+        if (np) {
+          // copy sequence lines, dropping only '\n' (a '\r' survives and
+          // fails QC, exactly like the python reader)
+          int64_t p = (np - data) + 1;
+          while (p < end) {
+            const char* nl = static_cast<const char*>(
+                std::memchr(data + p, '\n', static_cast<size_t>(end - p)));
+            const int64_t le = nl ? nl - data : end;
+            copy_upper(p, le);
+            p = le + 1;
+          }
+        }
+        offsets[++r] = w;
+      }
+      if (!gp) break;
+      i = end + 1;
+    }
+    return w;
+  }
+  // FASTQ
+  int64_t i = skip_line(data, 0, size);
+  while (i < size) {
+    int64_t s = i;
+    i = skip_line(data, i, size);
+    int64_t e = (i < size || data[size - 1] == '\n') ? i - 1 : i;
+    while (s < e && is_space(data[s])) ++s;       // python str.strip()
+    while (e > s && is_space(data[e - 1])) --e;
+    copy_upper(s, e);
+    offsets[++r] = w;
+    if (i < size) i = skip_line(data, i, size);  // '+'
+    if (i < size) i = skip_line(data, i, size);  // quals
+    if (i >= size) break;
+    i = skip_line(data, i, size);                // next header
+  }
+  return w;
 }

@@ -82,3 +82,46 @@ def test_pack_rejects_non_acgt():
     blob, offs = _blob(seqs)
     with pytest.raises(ValueError, match="read 2"):
         native.pack_reads(blob, offs, 3)
+
+
+def test_seq_scan_matches_python_reader(tmp_path):
+    from disco_tpu.io import fasta
+
+    rng = random.Random(11)
+    # FASTA: multi-line wraps, lowercase, an empty-sequence record, a
+    # header-only record at EOF
+    fa = tmp_path / "x.fasta"
+    seqs = ["".join(rng.choice("acgtACGT") for _ in range(rng.randrange(3, 200)))
+            for _ in range(40)]
+    with open(fa, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">r{i} desc\n")
+            for p in range(0, len(s), 60):
+                f.write(s[p:p + 60] + "\n")
+        f.write(">empty\n")
+        f.write(">trailing_header_no_newline")
+    blob, offs = native.seq_scan(fasta.read_bytes(str(fa)))
+    got = [bytes(blob[offs[i]:offs[i + 1]]).decode()
+           for i in range(len(offs) - 1)]
+    want = list(fasta.read_records(str(fa)))
+    assert got == want
+
+    # FASTQ (+ gz), including a no-trailing-newline last record
+    fq = tmp_path / "x.fastq"
+    with open(fq, "w") as f:
+        for i, s in enumerate(seqs[:7]):
+            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+        f.write("@last\nACGTACGT\n+\nIIIIIIII")
+    raw = fasta.read_bytes(str(fq))
+    blob, offs = native.seq_scan(raw)
+    got = [bytes(blob[offs[i]:offs[i + 1]]).decode()
+           for i in range(len(offs) - 1)]
+    want = list(fasta.read_records(str(fq)))
+    assert got == want
+
+    import gzip as _gz
+    fqz = tmp_path / "x.fastq.gz"
+    with _gz.open(fqz, "wb") as f:
+        f.write(raw)
+    blob2, offs2 = native.seq_scan(fasta.read_bytes(str(fqz)))
+    assert (offs2 == offs).all() and bytes(blob2) == bytes(blob)
