@@ -150,10 +150,19 @@ void* overlap_relation_collect(
     std::vector<Hit>& out = col->blocks[bi];
     const int64_t r_end = ((bi + 1) * kBlockReads < n) ? (bi + 1) * kBlockReads
                                                        : n;
+    // per-read window-code scratch; chunked so long reads stay bounded
+    constexpr int64_t kWinChunk = 512;
+    uint64_t qcodes[kWinChunk];
     for (int64_t r1 = bi * kBlockReads; r1 < r_end; ++r1) {
       const uint32_t* row1 = packed + r1 * row_words;
       const int64_t len1 = lengths[r1];
-      for (int64_t j = 0; j < len1 - k; ++j) {
+      const int64_t n_win = len1 - k;
+      for (int64_t jc = 0; jc < n_win; jc += kWinChunk) {
+      const int64_t j_end = (jc + kWinChunk < n_win) ? jc + kWinChunk : n_win;
+      // pass 1: compute the chunk's window codes and prefetch their radix
+      // slots — the random load into the (tens-of-MB) radix index is the
+      // dominant stall of this kernel; batching hides it
+      for (int64_t j = jc; j < j_end; ++j) {
         // window code: first kk bases of window j, packed into the top bits
         const int64_t wbase = j / 16;
         const uint32_t phase = 2u * static_cast<uint32_t>(j % 16);
@@ -167,7 +176,12 @@ void* overlap_relation_collect(
         const uint64_t win =
             (phase == 0) ? hi : (hi << phase) | (w2 >> (32u - phase));
         const uint64_t qcode = win >> key_shift;
-
+        qcodes[j - jc] = qcode;
+        __builtin_prefetch(&t.radix[qcode >> t.rshift], 0, 0);
+      }
+      // pass 2: lookups + verification
+      for (int64_t j = jc; j < j_end; ++j) {
+        const uint64_t qcode = qcodes[j - jc];
         int64_t lo, hiix;
         t.lookup(qcode, &lo, &hiix);
         for (int64_t p = lo; p < hiix; ++p) {
@@ -203,6 +217,7 @@ void* overlap_relation_collect(
                             static_cast<uint8_t>(cont_ok ? 1 : 0),
                             static_cast<uint8_t>(edge_ok ? 1 : 0)});
         }
+      }
       }
     }
   }
