@@ -207,8 +207,8 @@ def cmd_parsimplify(args) -> int:
     """`parsimplify` executable equivalent (reference CLI:
     src/SimplifyGraph/src/mainParSimplify.cpp:13-17 — positional
     edgeFile outFile minOvl threads)."""
-    from .simplify.pargraph import parsimplify
-    parsimplify(args.edge_file, args.out_file, args.min_ovl, args.threads)
+    from .native import parsimplify_run
+    parsimplify_run(args.edge_file, args.out_file, args.min_ovl)
     return 0
 
 

@@ -168,6 +168,33 @@ def edge_hit_groups(r1, j, r2, orient, edge_ok, contained, n: int):
 
 
 # ---------------------------------------------------------------------------
+# parsimplify phase (see parsimplify.cpp header)
+# ---------------------------------------------------------------------------
+_PARSIMPLIFY = None
+
+
+def _parsimplify_lib():
+    global _PARSIMPLIFY
+    with _LOCK:
+        if _PARSIMPLIFY is None:
+            lib = _compile("parsimplify", opt="-O2")
+            lib.parsimplify_run.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                            ctypes.c_int64]
+            lib.parsimplify_run.restype = ctypes.c_int64
+            _PARSIMPLIFY = lib
+    return _PARSIMPLIFY
+
+
+def parsimplify_run(edge_file: str, out_file: str, min_ovl: int) -> None:
+    """Native parsimplify: edge_file -> out_file (bit-identical to the
+    Python oracle disco_tpu.simplify.pargraph.parsimplify)."""
+    rc = _parsimplify_lib().parsimplify_run(
+        edge_file.encode(), out_file.encode(), min_ovl)
+    if rc != 0:
+        raise OSError(f"parsimplify_run failed on {edge_file}")
+
+
+# ---------------------------------------------------------------------------
 # Min-cost flow (CS2 replacement; see mcmf.cpp header)
 # ---------------------------------------------------------------------------
 _MCMF = None

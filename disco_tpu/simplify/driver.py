@@ -12,7 +12,10 @@ from .core import Alloc
 from .dataset import SimplifyDataset
 from .engine import FullGraph
 from .params import Params
-from .pargraph import parsimplify
+from ..native import parsimplify_run as parsimplify_native
+from .pargraph import parsimplify  # Python parity oracle (tests)
+
+assert parsimplify  # noqa: the oracle stays importable from the driver
 
 
 def run_fullsimplify(single_files: List[str], pair_files: List[str],
@@ -175,7 +178,7 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
         for i, ef in enumerate(edge_files):
             out = f"{prefix}_{i}_ParSimpleEdges.txt"
             if not os.path.exists(out):
-                parsimplify(ef, out, params.min_ovl, 1)
+                parsimplify_native(ef, out, params.min_ovl)
             graph.read_par_edges(out)
         graph.sort_edges_by_dest()
         while graph.contract_composite_par() > 0:
