@@ -124,10 +124,8 @@ def _print_edge_with_reads(graph: FullGraph, e: Edge, edge_f, used_f,
 def _print_edge_coverage(graph: FullGraph, e: Edge, cov_f,
                          name_id: int) -> None:
     vals = graph.coverage_values(e)
-    cov_f.write(f"contig_{name_id:010d},")
-    for v in vals:
-        cov_f.write(f"{v},")
-    cov_f.write("\n")
+    cov_f.write(f"contig_{name_id:010d}," +
+                ",".join(map(str, vals.tolist())) + ",\n")
 
 
 def stream_contigs(graph: FullGraph, single_files: List[str],

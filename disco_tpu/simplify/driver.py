@@ -183,8 +183,8 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
         graph.sort_edges_by_dest()
         while graph.contract_composite_par() > 0:
             pass
-        graph.print_all_edges(f"{prefix}_phase_parsimplify_{iteration}.txt")
-        graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
+        graph.print_all_edges(f"{prefix}_phase_parsimplify_{iteration}.txt",
+                              f"{prefix}_CurrGraph_.txt")
         checkpoint("ParSimplify=1")
     else:
         # resume: reload the checkpoint graph (reference: the parGlobalGraph
@@ -197,16 +197,16 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
     if phase_done[P_INITIAL] == 0:
         with clock("graphPathFindInitial"):
             graph.graph_path_find_initial()
-        graph.print_all_edges(f"{prefix}_phase_initial_{iteration}.txt")
-        graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
+        graph.print_all_edges(f"{prefix}_phase_initial_{iteration}.txt",
+                              f"{prefix}_CurrGraph_.txt")
         checkpoint("InitialSimplify=1")
 
     # --- phase 2: aggressive simplification ---------------------------------
     if phase_done[P_AGGRESSIVE] == 0:
         with clock("simplifyGraph"):
             graph.simplify_graph()
-        graph.print_all_edges(f"{prefix}_phase_aggressive_{iteration}.txt")
-        graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
+        graph.print_all_edges(f"{prefix}_phase_aggressive_{iteration}.txt",
+                              f"{prefix}_CurrGraph_.txt")
         checkpoint("AggressiveSimplify=1")
 
     # --- phase 3: flow analysis --------------------------------------------
@@ -214,16 +214,16 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
         with clock("calculateFlowStream"):
             graph.calculate_flow(dimacs_dump=f"{prefix}_dimacs_dump.txt")
             graph.remove_edges_without_flow()
-        graph.print_all_edges(f"{prefix}_phase_flow_{iteration}.txt")
-        graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
+        graph.print_all_edges(f"{prefix}_phase_flow_{iteration}.txt",
+                              f"{prefix}_CurrGraph_.txt")
         checkpoint("FlowAnalysis=1")
 
     # --- phase 4: post-flow simplification ----------------------------------
     if phase_done[P_POSTFLOW] == 0:
         with clock("postFlowSimplify"):
             graph.simplify_graph()
-        graph.print_all_edges(f"{prefix}_phase_postflow_{iteration}.txt")
-        graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
+        graph.print_all_edges(f"{prefix}_phase_postflow_{iteration}.txt",
+                              f"{prefix}_CurrGraph_.txt")
         checkpoint("PostFlowAnalysis=1")
 
     from . import scaffold as _scaffold
@@ -246,8 +246,8 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
                 *out_args, sim_path=sim_path)
         else:
             ctg_count = _contigs.stream_contigs(*out_args)
-        graph.print_all_edges(f"{prefix}_phase_printctg_{iteration}.txt")
-        graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
+        graph.print_all_edges(f"{prefix}_phase_printctg_{iteration}.txt",
+                              f"{prefix}_CurrGraph_.txt")
         checkpoint(f"PrintCtg={ctg_count}")
 
     # --- GFA export (reference: main.cpp:207-227) ---------------------------
@@ -271,8 +271,8 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
             f"{prefix}_scaffoldEdgeCoverageFinal_{iteration}.txt",
             f"{prefix}_UsedReads_{iteration}.txt",
             "scaff", scf_count)
-    graph.print_all_edges(f"{prefix}_phase_scaffold_{iteration}.txt")
-    graph.print_all_edges(f"{prefix}_CurrGraph_.txt")
+    graph.print_all_edges(f"{prefix}_phase_scaffold_{iteration}.txt",
+                          f"{prefix}_CurrGraph_.txt")
     checkpoint(f"Scaffold={scf_count}")
 
     # --- used-read accounting (main.cpp:273-291) ---------------------------

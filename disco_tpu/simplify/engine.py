@@ -467,17 +467,45 @@ class FullGraph:
         return 1 + (len(starts) - np.searchsorted(starts, idx, side="right"))
 
     def coverage_values(self, e: Edge) -> np.ndarray:
+        """Per-base coverage of a composite edge.  Difference-array
+        formulation of the per-read profile sum (the oracle loop is kept in
+        _read_cov_profile): each inner read adds +1 over
+        [ovl, min(ovl+len, L)) and, unless itself contained, +1 over
+        [ovl, ovl+min(s, end-ovl)) per contained-read start s."""
         length = e.edge_length()
-        cov = np.zeros(length, np.int64)
-        if e.inner.n:
-            overlap_off = 0
-            for (rid, _o, roff) in e.inner:
-                overlap_off += roff
-                prof = self._read_cov_profile(rid)
-                end = min(overlap_off + len(prof), length)
-                if end > overlap_off:
-                    cov[overlap_off:end] += prof[:end - overlap_off]
-        return cov
+        if not e.inner.n:
+            return np.zeros(length, np.int64)
+        flat = e.inner.flat()
+        n = len(flat)
+        rids = np.fromiter((t[0] for t in flat), np.int64, n)
+        roffs = np.fromiter((t[2] for t in flat), np.int64, n)
+        ovl = np.cumsum(roffs)
+        lens = np.fromiter((self.d.read_len(int(r)) for r in rids),
+                           np.int64, n)
+        ends = np.minimum(ovl + lens, length)
+        diff = np.zeros(length + 1, np.int64)
+        base = ends > ovl
+        np.add.at(diff, ovl[base], 1)
+        np.add.at(diff, ends[base], -1)
+        cflag = self.d.contained_flag
+        creads = self.d.con_reads
+        ca, cb = [], []
+        for i in range(n):
+            rid = int(rids[i])
+            lst = creads[rid]
+            if not lst or cflag[rid]:
+                continue
+            o, en = int(ovl[i]), int(ends[i])
+            if en <= o:
+                continue
+            lim = en - o
+            for (_c, s, _o2) in lst:
+                ca.append(o)
+                cb.append(o + (s if s < lim else lim))
+        if ca:
+            np.add.at(diff, np.asarray(ca, np.int64), 1)
+            np.add.at(diff, np.asarray(cb, np.int64), -1)
+        return np.cumsum(diff[:length])
 
     # ------------------------------------------------------------------
     # branch clipping (reference: clipBranches, :704-771)
@@ -723,15 +751,23 @@ class FullGraph:
             parts.append(f"({rid},{ori},{off})")
         return "".join(parts)
 
-    def print_all_edges(self, path: str) -> None:
-        with open(path, "w") as f:
-            for i in range(1, self.d.size() + 1):
-                lst = self.g.get(i)
-                if not lst:
-                    continue
-                for e in lst:
-                    if e.is_smaller():
-                        f.write(self.format_edge(e) + "\n")
+    def print_all_edges(self, path: str, *extra_paths: str) -> None:
+        """Write the graph snapshot to `path` (and identical copies to
+        `extra_paths` — the driver always snapshots each phase twice, once
+        as the phase file and once as _CurrGraph_; format once)."""
+        parts: List[str] = []
+        for i in range(1, self.d.size() + 1):
+            lst = self.g.get(i)
+            if not lst:
+                continue
+            for e in lst:
+                if e.is_smaller():
+                    parts.append(self.format_edge(e))
+                    parts.append("\n")
+        blob = "".join(parts)
+        for p in (path, *extra_paths):
+            with open(p, "w") as f:
+                f.write(blob)
 
     def get_edges(self) -> List[Edge]:
         """Length-sorted descending (reference: getEdges :1708-1733 —
