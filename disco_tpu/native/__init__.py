@@ -294,18 +294,19 @@ def _as_char_p(x):
     return x.ctypes.data_as(ctypes.c_char_p)
 
 
-def seq_scan(raw: bytes):
-    """Parse a FASTA/FASTQ byte buffer into (seq_blob, offsets): upper-cased
-    concatenated record sequences (uint8 array) + (n+1,) boundaries.
+def seq_scan(raw):
+    """Parse a FASTA/FASTQ byte buffer (bytes or uint8 ndarray) into
+    (seq_blob, offsets): upper-cased concatenated record sequences
+    (uint8 array) + (n+1,) boundaries.
     Raises ValueError on an unknown leading byte."""
     lib = _readqc_lib()
     size = len(raw)
-    n = lib.seq_scan_count(raw, size)
+    n = lib.seq_scan_count(_as_char_p(raw), size)
     if n < 0:
         raise ValueError("Unknown input file format")
     offsets = np.zeros(n + 1, np.int64)
     buf = np.empty(max(size, 1), np.uint8)
-    total = lib.seq_scan_fill(raw, size, _as_char_p(buf),
+    total = lib.seq_scan_fill(_as_char_p(raw), size, _as_char_p(buf),
                               offsets.ctypes.data_as(
                                   ctypes.POINTER(ctypes.c_int64)))
     return buf[:total], offsets
