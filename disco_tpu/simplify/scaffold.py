@@ -44,9 +44,14 @@ def calculate_mean_sd_inner_distance(graph: FullGraph) -> None:
     for ds in d.datasets:
         if ds.is_paired:
             dists: List[int] = []
+            locs = d.edge_locs
             for i in range(ds.r1_start, ds.r1_end + 1):
+                if not locs[i]:
+                    continue  # fwd_edges(i) would be empty for every mate
                 mp = d.mate_pair_list(i)
                 for r2 in mp:
+                    if not locs[r2]:
+                        continue  # bwd_edges(r2) empty -> no pairs
                     if d.dataset_number(r2) != ds.number:
                         continue
                     l1 = d.fwd_edges(i)
