@@ -18,6 +18,9 @@ CASES = [
     ("micro", "micro", [], ["reads.fasta"], 1000),
     ("microC", "microC", [], ["reads.fasta"], 1000),
     ("mini", "mini", ["reads.fasta"], [], 1000),
+    # mixed: single-end + two paired files (reference: buildG -se ... -pe
+    # f1,f2) — exercises multi-dataset read-ID ranges and SE/PE mixing
+    ("mixed", "mixed", ["p1.fasta", "p2.fasta"], ["se.fasta"], 1000),
     pytest.param("ecoli", "ecoli", ["reads.fasta"], [], 20000,
                  marks=pytest.mark.slow),
 ]

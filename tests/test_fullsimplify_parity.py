@@ -38,3 +38,23 @@ def test_fullsimplify_parity(fix, tmp_path):
         got = (tmp_path / f"{fix}_{name}").read_bytes()
         want = (gold / f"{fix}_{name}").read_bytes()
         assert got == want, f"{fix}_{name} differs"
+
+
+def test_fullsimplify_parity_mixed(tmp_path):
+    """Mixed single-end + two interleaved pair files (reference:
+    fullsimplify -fs se.fasta -fpi p1,p2) — multi-dataset mate-pair
+    arithmetic and file streaming order."""
+    d = GOLDEN / "mixed"
+    gold = d / "simplify"
+    for name in ("_0_parGraph.txt", "_0_containedReads.txt"):
+        shutil.copy(d / f"mixed{name}", tmp_path / f"mixed{name}")
+    prefix = str(tmp_path / "mixed")
+    run_fullsimplify([str(d / "se.fasta")], [],
+                     [str(d / "p1.fasta"), str(d / "p2.fasta")],
+                     [str(tmp_path / "mixed_0_parGraph.txt")],
+                     [str(tmp_path / "mixed_0_containedReads.txt")],
+                     prefix, param_files=PARAM_FILES)
+    for name in OUTPUTS:
+        got = (tmp_path / f"mixed_{name}").read_bytes()
+        want = (gold / f"mixed_{name}").read_bytes()
+        assert got == want, f"mixed_{name} differs"
