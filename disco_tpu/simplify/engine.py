@@ -53,12 +53,16 @@ class FullGraph:
     def _update_read_locations(self, e: Edge, insert: bool) -> None:
         # reference: updateReadsLocations + updateEdgeInfo (:3736-3776)
         if e.inner.n:
-            for i, (rid, ori, _off) in enumerate(e.inner):
-                bit = 0 if (ori & 1) == 1 else 1
-                if insert:
-                    self.d.set_edge(rid, e, i, bit)
-                else:
-                    self.d.del_edge(rid, e, i, bit)
+            if insert:
+                locs = self.d.edge_locs
+                for i, (rid, ori, _off) in enumerate(e.inner):
+                    lst = locs[rid]
+                    if lst is None:
+                        locs[rid] = lst = []
+                    lst.append((e, i, 0 if (ori & 1) == 1 else 1))
+            else:
+                for i, (rid, ori, _off) in enumerate(e.inner):
+                    self.d.del_edge(rid, e, i, 0 if (ori & 1) == 1 else 1)
 
     def insert_fwd_edge(self, e: Edge) -> None:
         lst = self.g.ensure(e.src)
