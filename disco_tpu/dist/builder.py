@@ -22,51 +22,81 @@ from .overlap_shard import ShardedOverlapEngine
 
 
 def sharded_relation(store: ReadStore, table: FingerprintTable, mesh: Mesh,
-                     hit_cap: int = 16,
-                     route_cap: Optional[int] = None) -> OverlapRelation:
-    """Compute the verified overlap relation on the mesh."""
+                     hit_cap: Optional[int] = None,
+                     route_cap: Optional[int] = None,
+                     budget: int = 1 << 25) -> OverlapRelation:
+    """Compute the verified overlap relation on the mesh.
+
+    Queries run in fixed-size chunks per superstep so device memory stays
+    bounded (grids ≈ budget words per mesh, independent of dataset size);
+    every chunk reuses the one compiled SPMD step.  The reference's analog
+    is its memory-bounded parGraph chunking
+    (src/BuildGraph/src/OverlapGraph.cpp:67-81).
+
+    hit_cap defaults to the table's largest key bucket, so the hit grids
+    are lossless by construction; the chunk size shrinks to keep
+    chunk * hit_cap at the budget."""
     n_dev = mesh.devices.size
     qread, qj, qcode = window_codes(store, table.k)
     q = len(qread)
+    if hit_cap is None:
+        # largest bucket in the sorted table = max run of equal keys
+        _, counts = np.unique(table.keys, return_counts=True)
+        hit_cap = max(int(counts.max()) if len(counts) else 1, 1)
+    chunk = max(budget // hit_cap, n_dev)
+    chunk = min(chunk, -(-q // n_dev) * n_dev)
+    chunk = -(-chunk // n_dev) * n_dev
     if route_cap is None:
-        # every query could land on one owner shard in the worst case
-        route_cap = -(-q // n_dev)
-        route_cap = -(-route_cap // 8) * 8
+        # every query of a shard's slice could land on one owner shard
+        route_cap = -(-(chunk // n_dev) // 8) * 8
     eng = ShardedOverlapEngine.build(store, table, mesh, hit_cap=hit_cap,
                                      route_cap=route_cap)
     step = eng.make_step()
 
-    pad = (-q) % n_dev
-    qread_p = np.pad(qread, (0, pad))
-    qj_p = np.pad(qj, (0, pad), constant_values=-1)
-    qcode_p = np.pad(qcode, (0, pad),
-                     constant_values=np.uint64(0xFFFFFFFFFFFFFFFF))
     packed_all = make_packed_all(store.packed, store.packed_rc)
     lengths = np.asarray(store.lengths, np.int32)
     marked = np.zeros(store.n_reads, np.int32)
     marked = np.pad(marked, (0, (-len(marked)) % n_dev))
 
-    r2, orient, typ, edge_ok, cont_ok, overflow, _unions = step(
-        packed_all, lengths, qread_p, qj_p, qcode_p, marked)
-    if int(np.asarray(overflow).sum()) != 0:
-        raise RuntimeError(
-            "sharded overlap overflow: raise hit_cap/route_cap")
+    parts = {k: [] for k in ("r1", "j", "r2", "orient", "typ", "edge", "cont")}
+    for s in range(0, q, chunk):
+        e = min(s + chunk, q)
+        pad = chunk - (e - s)
+        qread_p = np.pad(qread[s:e], (0, pad))
+        qj_p = np.pad(qj[s:e], (0, pad), constant_values=-1)
+        qcode_p = np.pad(qcode[s:e], (0, pad),
+                         constant_values=np.uint64(0xFFFFFFFFFFFFFFFF))
+        r2, orient, typ, edge_ok, cont_ok, overflow, _unions = step(
+            packed_all, lengths, qread_p, qj_p, qcode_p, marked)
+        if int(np.asarray(overflow).sum()) != 0:
+            raise RuntimeError(
+                "sharded overlap overflow: raise hit_cap/route_cap")
+        n = e - s
+        r2 = np.asarray(r2)[:n]
+        orient = np.asarray(orient)[:n]
+        typ = np.asarray(typ)[:n]
+        edge_ok = np.asarray(edge_ok)[:n]
+        cont_ok = np.asarray(cont_ok)[:n]
+        keep = edge_ok | cont_ok
+        qi, hi = np.nonzero(keep)
+        parts["r1"].append(qread[s:e][qi].astype(np.int32))
+        parts["j"].append(qj[s:e][qi])
+        parts["r2"].append(r2[qi, hi].astype(np.int32))
+        parts["orient"].append(orient[qi, hi].astype(np.int8))
+        parts["typ"].append(typ[qi, hi].astype(np.int8))
+        parts["edge"].append(edge_ok[qi, hi])
+        parts["cont"].append(cont_ok[qi, hi])
 
-    r2 = np.asarray(r2)[:q]
-    orient = np.asarray(orient)[:q]
-    typ = np.asarray(typ)[:q]
-    edge_ok = np.asarray(edge_ok)[:q]
-    cont_ok = np.asarray(cont_ok)[:q]
-
-    keep = edge_ok | cont_ok
-    qi, hi = np.nonzero(keep)
-    r1f = qread[qi].astype(np.int32)
-    jf = qj[qi]
-    r2f = r2[qi, hi].astype(np.int32)
-    of = orient[qi, hi].astype(np.int8)
-    tf = typ[qi, hi].astype(np.int8)
-    ef = edge_ok[qi, hi]
-    cf = cont_ok[qi, hi]
+    r1f = np.concatenate(parts["r1"]) if parts["r1"] else np.zeros(0, np.int32)
+    jf = np.concatenate(parts["j"]) if parts["j"] else np.zeros(0, np.int32)
+    r2f = np.concatenate(parts["r2"]) if parts["r2"] else np.zeros(0, np.int32)
+    of = np.concatenate(parts["orient"]) if parts["orient"] else \
+        np.zeros(0, np.int8)
+    tf = np.concatenate(parts["typ"]) if parts["typ"] else np.zeros(0, np.int8)
+    ef = np.concatenate(parts["edge"]) if parts["edge"] else \
+        np.zeros(0, np.bool_)
+    cf = np.concatenate(parts["cont"]) if parts["cont"] else \
+        np.zeros(0, np.bool_)
     fidx2 = store.file_index[r2f]
     order = np.lexsort((tf, fidx2, jf, r1f))
     return OverlapRelation(

@@ -72,6 +72,7 @@ class ShardedOverlapEngine:
     read: np.ndarray    # (n_shards, M_pad) int32
     orient: np.ndarray  # (n_shards, M_pad) int32
     typ: np.ndarray     # (n_shards, M_pad) int32
+    sizes: np.ndarray   # (n_shards,) int32 — real (unpadded) entry counts
 
     @classmethod
     def build(cls, store: ReadStore, table: FingerprintTable, mesh: Mesh,
@@ -83,6 +84,7 @@ class ShardedOverlapEngine:
         read = np.zeros((n_shards, m_pad), np.int32)
         orient = np.zeros((n_shards, m_pad), np.int32)
         typ = np.zeros((n_shards, m_pad), np.int32)
+        sizes = np.zeros(n_shards, np.int32)
         for s in range(n_shards):
             sel = owner == s
             m = int(sel.sum())
@@ -90,13 +92,14 @@ class ShardedOverlapEngine:
             read[s, :m] = table.read[sel]
             orient[s, :m] = table.orient[sel]
             typ[s, :m] = table.typ[sel]
+            sizes[s] = m
         return cls(mesh=mesh, n_words=store.n_words, k=table.k,
                    hit_cap=hit_cap, route_cap=route_cap,
-                   keys=keys, read=read, orient=orient, typ=typ)
+                   keys=keys, read=read, orient=orient, typ=typ, sizes=sizes)
 
     # ------------------------------------------------------------------
     def _superstep(self, packed_all, lengths, qread, qj, qcode, marked,
-                   lkeys, lread, lorient, ltyp):
+                   lkeys, lread, lorient, ltyp, lsize):
         """Per-shard body (runs under shard_map).  Local (per-shard query
         slice) outputs: hit grids (Qs, H), overflow (1,), marked union."""
         n_shards = jax.lax.psum(1, AXIS)
@@ -116,10 +119,16 @@ class ShardedOverlapEngine:
         codes_in = jax.lax.all_to_all(codes_out, AXIS, 0, 0, tiled=True)
         valid_in = jax.lax.all_to_all(slot_valid, AXIS, 0, 0, tiled=True)
 
-        # 3. local table lookup
+        # 3. local table lookup — clamped to the shard's REAL entry count:
+        #    the pad entries share the key 0xFF..FF, which a genuine poly-T
+        #    window can also hash to, so an unclamped hi would sweep the
+        #    pad run into that query's bucket (garbage hits / spurious
+        #    hit-cap overflow)
         flat_codes = codes_in.reshape(-1)
-        lo = jnp.searchsorted(lkeys, flat_codes, side="left")
-        hi = jnp.searchsorted(lkeys, flat_codes, side="right")
+        lo = jnp.minimum(jnp.searchsorted(lkeys, flat_codes, side="left"),
+                         lsize)
+        hi = jnp.minimum(jnp.searchsorted(lkeys, flat_codes, side="right"),
+                         lsize)
         tpos = lo[:, None] + jnp.arange(hit_cap, dtype=lo.dtype)[None, :]
         hit_valid = (tpos < hi[:, None]) & valid_in.reshape(-1)[:, None]
         overflow = overflow + ((hi - lo) > hit_cap).sum()
@@ -173,17 +182,18 @@ class ShardedOverlapEngine:
         read = jnp.asarray(self.read)
         orient = jnp.asarray(self.orient)
         typ = jnp.asarray(self.typ)
+        sizes = jnp.asarray(self.sizes)
 
         def body(packed_all, lengths, qread, qj, qcode, marked,
-                 keys_s, read_s, orient_s, typ_s):
+                 keys_s, read_s, orient_s, typ_s, size_s):
             return self._superstep(packed_all, lengths, qread, qj, qcode,
                                    marked, keys_s[0], read_s[0], orient_s[0],
-                                   typ_s[0])
+                                   typ_s[0], size_s[0])
 
         fn = jax.shard_map(
             body, mesh=mesh,
             in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                      P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+                      P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
             out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                        P(AXIS), P(AXIS)),
             check_vma=False)
@@ -191,5 +201,5 @@ class ShardedOverlapEngine:
         @jax.jit
         def run(packed_all, lengths, qread, qj, qcode, marked):
             return fn(packed_all, lengths, qread, qj, qcode, marked,
-                      keys, read, orient, typ)
+                      keys, read, orient, typ, sizes)
         return run

@@ -46,3 +46,36 @@ def test_sharded_superstep_matches_host_relation():
     assert int(np.asarray(overflow).sum()) == 0
     got = int(np.asarray(edge_ok).sum())
     assert got == want, (got, want)
+
+
+def test_sharded_relation_polyT_and_chunking(tmp_path):
+    """A read with a window of all-T bases hashes to the same key as the
+    table's PAD entries; the clamped lookup must not sweep the pad run into
+    its bucket.  Also runs with a tiny chunk budget so the relation is
+    assembled from many supersteps (regression for the unbounded
+    single-superstep memory blowup)."""
+    import random
+    from disco_tpu.dist.builder import sharded_relation
+
+    rng = random.Random(5)
+    base = "".join(rng.choice("ACGT") for _ in range(400))
+    reads = [base[i:i + 100] for i in range(0, 280, 20)]
+    # read with a 40-T interior run (passes QC: 40+~15 T of 100 < 70%)
+    polyt = base[:30] + "T" * 40 + base[30:60]
+    reads.append(polyt)
+    reads.append(polyt[:80])  # overlaps the poly-T read
+    fa = tmp_path / "r.fasta"
+    with open(fa, "w") as f:
+        for i, s in enumerate(reads):
+            f.write(f">r{i}\n{s}\n")
+
+    store = ReadStore.from_files([str(fa)], [], 30,
+                                 reference_task_order=False)
+    table = FingerprintTable.build(store, 29)
+    want = compute_relation(store, table)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    got = sharded_relation(store, table, mesh, budget=1 << 12)
+    assert len(got) == len(want)
+    for f in ("r1", "j", "r2", "orient", "typ", "cont_ok", "edge_ok"):
+        assert (getattr(got, f) == getattr(want, f)).all(), f
