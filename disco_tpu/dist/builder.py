@@ -59,15 +59,9 @@ def sharded_relation(store: ReadStore, table: FingerprintTable, mesh: Mesh,
     marked = np.pad(marked, (0, (-len(marked)) % n_dev))
 
     parts = {k: [] for k in ("r1", "j", "r2", "orient", "typ", "edge", "cont")}
-    for s in range(0, q, chunk):
-        e = min(s + chunk, q)
-        pad = chunk - (e - s)
-        qread_p = np.pad(qread[s:e], (0, pad))
-        qj_p = np.pad(qj[s:e], (0, pad), constant_values=-1)
-        qcode_p = np.pad(qcode[s:e], (0, pad),
-                         constant_values=np.uint64(0xFFFFFFFFFFFFFFFF))
-        r2, orient, typ, edge_ok, cont_ok, overflow, _unions = step(
-            packed_all, lengths, qread_p, qj_p, qcode_p, marked)
+
+    def collect(s, e, out):
+        r2, orient, typ, edge_ok, cont_ok, overflow, _unions = out
         if int(np.asarray(overflow).sum()) != 0:
             raise RuntimeError(
                 "sharded overlap overflow: raise hit_cap/route_cap")
@@ -86,6 +80,23 @@ def sharded_relation(store: ReadStore, table: FingerprintTable, mesh: Mesh,
         parts["typ"].append(typ[qi, hi].astype(np.int8))
         parts["edge"].append(edge_ok[qi, hi])
         parts["cont"].append(cont_ok[qi, hi])
+
+    # 1-deep pipeline: dispatch chunk i+1 (async under jit) before pulling
+    # chunk i's results, overlapping host compaction with device compute
+    pending = None
+    for s in range(0, q, chunk):
+        e = min(s + chunk, q)
+        pad = chunk - (e - s)
+        qread_p = np.pad(qread[s:e], (0, pad))
+        qj_p = np.pad(qj[s:e], (0, pad), constant_values=-1)
+        qcode_p = np.pad(qcode[s:e], (0, pad),
+                         constant_values=np.uint64(0xFFFFFFFFFFFFFFFF))
+        out = step(packed_all, lengths, qread_p, qj_p, qcode_p, marked)
+        if pending is not None:
+            collect(*pending)
+        pending = (s, e, out)
+    if pending is not None:
+        collect(*pending)
 
     r1f = np.concatenate(parts["r1"]) if parts["r1"] else np.zeros(0, np.int32)
     jf = np.concatenate(parts["j"]) if parts["j"] else np.zeros(0, np.int32)
