@@ -17,6 +17,7 @@ import numpy as np
 from ..index.table import FingerprintTable
 from ..io.readstore import ReadStore
 from ..overlap.relation import compute_relation
+from ..utils.logging import clock
 from . import replay
 
 
@@ -65,17 +66,24 @@ def run_buildg(paired_files: Sequence[str], single_files: Sequence[str],
     if gc_done:
         return None, None, None
 
+    # per-stage telemetry mirrors the reference's CLOCKSTART/CLOCKSTOP on
+    # every major function (reference: src/BuildGraph/src/Common.h:71-72)
     if store is None:
-        store = ReadStore.from_files(paired_files, single_files, min_overlap,
-                                     id_map_path=prefix + "_ReadIDMap.txt")
-    table = FingerprintTable.build(store, min_overlap - 1)
-    rel = compute_relation(store, table)
+        with clock("readDataset"):
+            store = ReadStore.from_files(paired_files, single_files,
+                                         min_overlap,
+                                         id_map_path=prefix + "_ReadIDMap.txt")
+    with clock("insertDataset"):
+        table = FingerprintTable.build(store, min_overlap - 1)
+    with clock("overlapRelation"):
+        rel = compute_relation(store, table)
 
     cont_path = prefix + "_0_containedReads.txt"
     if ccr_done and os.path.exists(cont_path):
         superread = load_contained_reads(cont_path, store)
     else:
-        superread, cont_lines = replay.containment_replay(rel, store)
+        with clock("markContainedReads"):
+            superread, cont_lines = replay.containment_replay(rel, store)
         with open(cont_path, "w") as f:
             for ln in cont_lines:
                 f.write(ln + "\n")
@@ -84,8 +92,9 @@ def run_buildg(paired_files: Sequence[str], single_files: Sequence[str],
         with open(prefix + "_CheckpointInfo.txt", "w") as f:
             f.write("CCR=Complete\n")
 
-    par_blob = replay.build_graph_replay_native(rel, store, superread,
-                                                write_par_graph_size)
+    with clock("buildOverlapGraphFromHashTable"):
+        par_blob = replay.build_graph_replay_native(rel, store, superread,
+                                                    write_par_graph_size)
     with open(prefix + "_0_parGraph.txt", "wb") as f:
         f.write(par_blob)
     # reference: main.cpp:63-70 appends GC=Complete

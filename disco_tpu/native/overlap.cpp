@@ -25,27 +25,35 @@
 
 namespace {
 
-// word covering bases [off + 16*wi, +16) of a packed row (funnel shift;
-// mirrors disco_tpu/overlap/verify.py::_window_word)
-static inline uint32_t window_word(const uint32_t* row, int64_t off,
-                                   int64_t wi) {
-  const int64_t word_idx = off / 16 + wi;
+// word covering bases [off + 32*wi, +32) of a packed row (funnel shift over
+// 32-bit words; mirrors disco_tpu/overlap/verify.py::_window_word).  The third word may step one
+// past the row's zero-pad word for windows near the row end; clamping is
+// safe because any bases it would contribute are masked off by the caller
+// (they lie beyond the compared length).
+static inline uint64_t window_word64(const uint32_t* row, int64_t off,
+                                     int64_t wi, int64_t row_words) {
+  const int64_t word_idx = off / 16 + 2 * wi;
   const uint32_t bit = 2u * static_cast<uint32_t>(off % 16);
-  const uint32_t w0 = row[word_idx];
-  const uint32_t w1 = row[word_idx + 1];
-  if (bit == 0) return w0;
-  return (w0 << bit) | (w1 >> (32u - bit));
+  const uint64_t w0 = row[word_idx];
+  const uint64_t w1 = row[word_idx + 1];
+  const uint64_t hi = (w0 << 32) | w1;
+  if (bit == 0) return hi;
+  const int64_t i2 = (word_idx + 2 < row_words) ? word_idx + 2 : row_words - 1;
+  const uint64_t w2 = row[i2];
+  return (hi << bit) | (w2 >> (32u - bit));
 }
 
 // fwd-row window [o1, o1+n) == other-row window [o2, o2+n) ?
+// (32 bases per iteration; verification is the kernel's largest cost)
 static inline bool windows_equal(const uint32_t* row1, int64_t o1,
                                  const uint32_t* row2, int64_t o2,
-                                 int64_t n) {
-  for (int64_t wi = 0; n > 0; ++wi, n -= 16) {
-    const uint32_t x = window_word(row1, o1, wi);
-    const uint32_t y = window_word(row2, o2, wi);
-    const uint32_t mask =
-        (n >= 16) ? 0xFFFFFFFFu : (0xFFFFFFFFu << (2u * (16u - (uint32_t)n)));
+                                 int64_t n, int64_t row_words) {
+  for (int64_t wi = 0; n > 0; ++wi, n -= 32) {
+    const uint64_t x = window_word64(row1, o1, wi, row_words);
+    const uint64_t y = window_word64(row2, o2, wi, row_words);
+    const uint64_t mask =
+        (n >= 32) ? ~uint64_t(0)
+                  : (~uint64_t(0) << (2u * (32u - (uint32_t)n)));
     if ((x ^ y) & mask) return false;
   }
   return true;
@@ -111,6 +119,12 @@ struct Hit {
   uint8_t cont, edge;
 };
 
+// (window, table-position) candidate pair, collected per chunk so
+// verification loads can be prefetched a fixed distance ahead
+struct Cand {
+  int32_t j, p;
+};
+
 struct Collected {
   std::vector<std::vector<Hit>> blocks;
 };
@@ -153,6 +167,9 @@ void* overlap_relation_collect(
     // per-read window-code scratch; chunked so long reads stay bounded
     constexpr int64_t kWinChunk = 512;
     uint64_t qcodes[kWinChunk];
+    uint32_t los[kWinChunk], his[kWinChunk];
+    std::vector<Cand> cand;
+    cand.reserve(4 * kWinChunk);
     for (int64_t r1 = bi * kBlockReads; r1 < r_end; ++r1) {
       const uint32_t* row1 = packed + r1 * row_words;
       const int64_t len1 = lengths[r1];
@@ -179,12 +196,97 @@ void* overlap_relation_collect(
         qcodes[j - jc] = qcode;
         __builtin_prefetch(&t.radix[qcode >> t.rshift], 0, 0);
       }
-      // pass 2: lookups + verification
+#if defined(ABLATE_STAGE) && ABLATE_STAGE < 2
+      // ablation: consume qcodes so pass 1 isn't dead-code-eliminated
+      uint64_t sinkv = 0;
+      for (int64_t j = jc; j < j_end; ++j) sinkv ^= qcodes[j - jc];
+      if (sinkv == 0xdeadbeefcafef00dULL)
+        out.push_back(Hit{0, 0, 0, 0, 0, 0, 0});
+      continue;
+#endif
+      // pass 2a: radix-range fetch + key-line prefetch.  The binary search's
+      // key loads are dependent random DRAM hits on ~25% of windows; batching
+      // the range fetch first lets the key lines stream in while the rest of
+      // the chunk's ranges are read.
       for (int64_t j = jc; j < j_end; ++j) {
+        const int64_t p = static_cast<int64_t>(qcodes[j - jc] >> t.rshift);
+        const uint32_t lo = t.radix[p], hi = t.radix[p + 1];
+        los[j - jc] = lo;
+        his[j - jc] = hi;
+        if (lo != hi) {
+          __builtin_prefetch(&t.keys[lo], 0, 0);
+          __builtin_prefetch(&t.keys[hi - 1], 0, 0);
+        }
+      }
+      // pass 2a': bucket search; collect candidate (j, p) pairs in emission
+      // order so pass 2b can prefetch verification loads a fixed distance
+      // ahead instead of stalling once per candidate.
+      cand.clear();
+      for (int64_t j = jc; j < j_end; ++j) {
+        int64_t lo = los[j - jc], hiix = his[j - jc];
+        if (lo == hiix) continue;
         const uint64_t qcode = qcodes[j - jc];
-        int64_t lo, hiix;
-        t.lookup(qcode, &lo, &hiix);
-        for (int64_t p = lo; p < hiix; ++p) {
+        if (hiix - lo == 1) {  // ~4 keys/radix slot => mostly 0-1 entries
+          if (t.keys[lo] == qcode)
+            cand.push_back(Cand{static_cast<int32_t>(j),
+                                static_cast<int32_t>(lo)});
+          continue;
+        }
+        // lower_bound
+        int64_t a = lo, b = hiix;
+        while (a < b) {
+          const int64_t mid = (a + b) >> 1;
+          if (t.keys[mid] < qcode) a = mid + 1; else b = mid;
+        }
+        lo = a;
+        // upper_bound
+        b = hiix;
+        while (a < b) {
+          const int64_t mid = (a + b) >> 1;
+          if (t.keys[mid] <= qcode) a = mid + 1; else b = mid;
+        }
+        for (int64_t p = lo; p < a; ++p)
+          cand.push_back(Cand{static_cast<int32_t>(j),
+                              static_cast<int32_t>(p)});
+      }
+#if defined(ABLATE_STAGE) && ABLATE_STAGE < 3
+      {
+        static int64_t g_cand_total = 0;
+#pragma omp atomic
+        g_cand_total += static_cast<int64_t>(cand.size());
+        if (g_cand_total == -1) out.push_back(Hit{0, 0, 0, 0, 0, 0, 0});
+        *total_out = g_cand_total;
+      }
+      continue;
+#endif
+      // pass 2b: two-level software-pipelined verification.  Prefetching a
+      // candidate's packed row needs t.read[p] first — itself a random DRAM
+      // load — so metadata is prefetched at distance 2*kPfd and the row (via
+      // the by-then-cached metadata) at distance kPfd; a single-level scheme
+      // blocks on the metadata load inside the prefetch routine.
+      constexpr size_t kPfd = 12;  // ~LFB depth per core
+      const size_t n_cand = cand.size();
+      auto pf_meta = [&](size_t i) {
+        __builtin_prefetch(&t.read[cand[i].p], 0, 0);
+        __builtin_prefetch(&t.orient[cand[i].p], 0, 0);
+      };
+      auto pf_row = [&](size_t i) {
+        const int64_t p = cand[i].p;
+        const int64_t r2 = t.read[p];
+        __builtin_prefetch(&lengths[r2], 0, 0);
+        const uint32_t* row2 = (t.orient[p] & 2) ? packed_rc + r2 * row_words
+                                                 : packed + r2 * row_words;
+        __builtin_prefetch(row2, 0, 0);
+        __builtin_prefetch(row2 + row_words - 1, 0, 0);
+      };
+      for (size_t i = 0; i < n_cand && i < 2 * kPfd; ++i) pf_meta(i);
+      for (size_t i = 0; i < n_cand && i < kPfd; ++i) pf_row(i);
+      for (size_t ci = 0; ci < n_cand; ++ci) {
+        if (ci + 2 * kPfd < n_cand) pf_meta(ci + 2 * kPfd);
+        if (ci + kPfd < n_cand) pf_row(ci + kPfd);
+        const int64_t j = cand[ci].j;
+        {
+          const int64_t p = cand[ci].p;
           const int64_t r2 = t.read[p];
           if (r2 == r1) continue;
           const int32_t ho = t.orient[p];
@@ -201,14 +303,14 @@ void* overlap_relation_collect(
             const int64_t en = suffix_case ? j + k : len1 - j;
             const int64_t eo1 = suffix_case ? 0 : j;
             const int64_t eo2 = suffix_case ? len2 - en : 0;
-            edge_ok = windows_equal(row1, eo1, row2, eo2, en);
+            edge_ok = windows_equal(row1, eo1, row2, eo2, en, row_words);
           }
           // containment: read2 entirely inside read1
           // (reference: OverlapGraph.cpp:517-554)
           bool cont_ok = false;
           if (suffix_case ? (j >= len2 - k) : (j + len2 <= len1)) {
             const int64_t co1 = suffix_case ? j + k - len2 : j;
-            cont_ok = windows_equal(row1, co1, row2, 0, len2);
+            cont_ok = windows_equal(row1, co1, row2, 0, len2, row_words);
           }
           if (!(edge_ok || cont_ok)) continue;
           out.push_back(Hit{static_cast<int32_t>(r1),

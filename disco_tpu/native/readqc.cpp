@@ -196,6 +196,16 @@ inline char upper(char c) {
   return (c >= 'a' && c <= 'z') ? static_cast<char>(c - 32) : c;
 }
 
+// bulk upper-case copy in a branchless form g++ auto-vectorizes (the scalar
+// per-byte loop caps the scanner at ~70 MB/s; this runs at memory speed)
+inline void copy_upper_bulk(const char* src, char* dst, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    const unsigned char c = static_cast<unsigned char>(src[i]);
+    const unsigned char low = (c >= 'a') & (c <= 'z');
+    dst[i] = static_cast<char>(c - (low << 5));
+  }
+}
+
 inline bool is_space(char c) {
   return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\v' ||
          c == '\f';
@@ -254,7 +264,8 @@ extern "C" int64_t seq_scan_fill(const char* data, int64_t size,
   offsets[0] = 0;
   if (size == 0) return 0;
   const auto copy_upper = [&](int64_t from, int64_t to) {
-    for (int64_t p = from; p < to; ++p) seq_out[w++] = upper(data[p]);
+    copy_upper_bulk(data + from, seq_out + w, to - from);
+    w += to - from;
   };
   if (data[0] == '>') {
     int64_t i = 1;

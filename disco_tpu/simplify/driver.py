@@ -175,14 +175,15 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
     # --- phase 0: per-partition simplification + load + contract ----------
     graph = FullGraph(dataset, params)
     if phase_done[P_PARSIMPLIFY] == 0:
-        for i, ef in enumerate(edge_files):
-            out = f"{prefix}_{i}_ParSimpleEdges.txt"
-            if not os.path.exists(out):
-                parsimplify_native(ef, out, params.min_ovl)
-            graph.read_par_edges(out)
-        graph.sort_edges_by_dest()
-        while graph.contract_composite_par() > 0:
-            pass
+        with clock("parSimplifyAndLoad"):
+            for i, ef in enumerate(edge_files):
+                out = f"{prefix}_{i}_ParSimpleEdges.txt"
+                if not os.path.exists(out):
+                    parsimplify_native(ef, out, params.min_ovl)
+                graph.read_par_edges(out)
+            graph.sort_edges_by_dest()
+            while graph.contract_composite_par() > 0:
+                pass
         graph.print_all_edges(f"{prefix}_phase_parsimplify_{iteration}.txt",
                               f"{prefix}_CurrGraph_.txt")
         checkpoint("ParSimplify=1")
@@ -241,11 +242,12 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
             f"{prefix}_contigEdgeCoverageFinal_{iteration}.txt",
             f"{prefix}_UsedReads_{iteration}.txt",
             "contig", ctg_count)
-        if use_thresh:
-            ctg_count = _contigs.stream_contigs_thresh(
-                *out_args, sim_path=sim_path)
-        else:
-            ctg_count = _contigs.stream_contigs(*out_args)
+        with clock("streamContigs"):
+            if use_thresh:
+                ctg_count = _contigs.stream_contigs_thresh(
+                    *out_args, sim_path=sim_path)
+            else:
+                ctg_count = _contigs.stream_contigs(*out_args)
         graph.print_all_edges(f"{prefix}_phase_printctg_{iteration}.txt",
                               f"{prefix}_CurrGraph_.txt")
         checkpoint(f"PrintCtg={ctg_count}")
@@ -264,13 +266,14 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
     with clock("scaffold"):
         _scaffold.scaffold_phase(graph)
     if params.print_scaffolds:
-        scf_count = _contigs.stream_contigs(
-            graph, single_files, pair_files, inter_pair_files,
-            f"{prefix}_scaffoldsFinal_{iteration}.fasta",
-            f"{prefix}_scaffoldEdgesFinal_{iteration}.txt",
-            f"{prefix}_scaffoldEdgeCoverageFinal_{iteration}.txt",
-            f"{prefix}_UsedReads_{iteration}.txt",
-            "scaff", scf_count)
+        with clock("streamScaffolds"):
+            scf_count = _contigs.stream_contigs(
+                graph, single_files, pair_files, inter_pair_files,
+                f"{prefix}_scaffoldsFinal_{iteration}.fasta",
+                f"{prefix}_scaffoldEdgesFinal_{iteration}.txt",
+                f"{prefix}_scaffoldEdgeCoverageFinal_{iteration}.txt",
+                f"{prefix}_UsedReads_{iteration}.txt",
+                "scaff", scf_count)
     graph.print_all_edges(f"{prefix}_phase_scaffold_{iteration}.txt",
                           f"{prefix}_CurrGraph_.txt")
     checkpoint(f"Scaffold={scf_count}")
