@@ -75,6 +75,8 @@ struct Table {
   std::vector<uint32_t> radix;
 
   void build_radix() {
+    // radix slots are uint32 table positions
+    if (m > int64_t(0xFFFFFFFF)) __builtin_trap();
     int b = 16;
     while (b < 24 && (int64_t(1) << b) < 4 * m) ++b;
     rbits = b;
@@ -88,29 +90,6 @@ struct Table {
     }
   }
 
-  inline void lookup(uint64_t q, int64_t* lo_out, int64_t* hi_out) const {
-    const int64_t p = static_cast<int64_t>(q >> rshift);
-    int64_t lo = radix[p], hi = radix[p + 1];
-    if (lo == hi) {
-      *lo_out = lo;
-      *hi_out = hi;
-      return;
-    }
-    // lower_bound
-    int64_t a = lo, b = hi;
-    while (a < b) {
-      const int64_t mid = (a + b) >> 1;
-      if (keys[mid] < q) a = mid + 1; else b = mid;
-    }
-    *lo_out = a;
-    // upper_bound
-    b = hi;
-    while (a < b) {
-      const int64_t mid = (a + b) >> 1;
-      if (keys[mid] <= q) a = mid + 1; else b = mid;
-    }
-    *hi_out = a;
-  }
 };
 
 struct Hit {
@@ -120,9 +99,13 @@ struct Hit {
 };
 
 // (window, table-position) candidate pair, collected per chunk so
-// verification loads can be prefetched a fixed distance ahead
+// verification loads can be prefetched a fixed distance ahead.  p is the
+// full-width table position: the table can exceed 2^31 entries at
+// metagenome scale (4 records/read), and the radix slots (uint32) already
+// cap m at 2^32 — asserted in build_radix.
 struct Cand {
-  int32_t j, p;
+  int64_t p;
+  int32_t j;
 };
 
 struct Collected {
@@ -158,6 +141,10 @@ void* overlap_relation_collect(
   auto* col = new Collected();
   const int64_t n_blocks = (n + kBlockReads - 1) / kBlockReads;
   col->blocks.resize(static_cast<size_t>(n_blocks));
+
+#if defined(ABLATE_STAGE) && ABLATE_STAGE < 3
+  int64_t cand_total = 0;  // per-call; summed once after the parallel loop
+#endif
 
 #pragma omp parallel for schedule(dynamic, 1)
   for (int64_t bi = 0; bi < n_blocks; ++bi) {
@@ -228,8 +215,7 @@ void* overlap_relation_collect(
         const uint64_t qcode = qcodes[j - jc];
         if (hiix - lo == 1) {  // ~4 keys/radix slot => mostly 0-1 entries
           if (t.keys[lo] == qcode)
-            cand.push_back(Cand{static_cast<int32_t>(j),
-                                static_cast<int32_t>(lo)});
+            cand.push_back(Cand{lo, static_cast<int32_t>(j)});
           continue;
         }
         // lower_bound
@@ -246,16 +232,14 @@ void* overlap_relation_collect(
           if (t.keys[mid] <= qcode) a = mid + 1; else b = mid;
         }
         for (int64_t p = lo; p < a; ++p)
-          cand.push_back(Cand{static_cast<int32_t>(j),
-                              static_cast<int32_t>(p)});
+          cand.push_back(Cand{p, static_cast<int32_t>(j)});
       }
 #if defined(ABLATE_STAGE) && ABLATE_STAGE < 3
       {
-        static int64_t g_cand_total = 0;
+        const int64_t c = static_cast<int64_t>(cand.size());
 #pragma omp atomic
-        g_cand_total += static_cast<int64_t>(cand.size());
-        if (g_cand_total == -1) out.push_back(Hit{0, 0, 0, 0, 0, 0, 0});
-        *total_out = g_cand_total;
+        cand_total += c;
+        if (c == -1) out.push_back(Hit{0, 0, 0, 0, 0, 0, 0});
       }
       continue;
 #endif
@@ -324,9 +308,15 @@ void* overlap_relation_collect(
     }
   }
 
+#if defined(ABLATE_STAGE) && ABLATE_STAGE < 3
+  // ablation diagnostic: report the candidate count instead of the hit
+  // count (blocks are empty under ablation)
+  *total_out = cand_total;
+#else
   int64_t total = 0;
   for (const auto& b : col->blocks) total += static_cast<int64_t>(b.size());
   *total_out = total;
+#endif
   return col;
 }
 
