@@ -30,13 +30,30 @@ def _cfg_min_overlap(path: str, default: int = 30) -> int:
     return default
 
 
+def _prepare_devices(n: int) -> None:
+    """Pre-arrange a virtual CPU mesh fallback for -n > available
+    accelerator devices.  Must run before the first jax import (the flag is
+    read at backend init); harmless when the accelerator already has n
+    devices."""
+    if n <= 1 or "jax" in sys.modules:
+        return
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}").strip()
+
+
 def _mesh(n: int):
     """n-device 1D mesh for the distributed builder (runDisco-MPI's -n,
-    reference: runDisco-MPI.sh:214 `mpirun -np N`)."""
+    reference: runDisco-MPI.sh:214 `mpirun -np N`).  Falls back to the
+    virtual CPU mesh when the accelerator platform has fewer than n
+    devices (the bench host exposes one tunneled chip)."""
     import jax
     import numpy as np
     from jax.sharding import Mesh
     devs = jax.devices()
+    if len(devs) < n:
+        devs = jax.devices("cpu")
     if len(devs) < n:
         raise SystemExit(
             f"-n {n}: only {len(devs)} devices visible. For CPU testing set "
@@ -46,6 +63,10 @@ def _mesh(n: int):
 
 
 def cmd_assemble(args) -> int:
+    if args.backend:
+        os.environ["DISCO_TPU_BACKEND"] = args.backend
+    if args.n and args.n > 1:
+        _prepare_devices(args.n)
     from .buildg.pipeline import run_buildg
     from .simplify.driver import run_fullsimplify
 
@@ -144,6 +165,10 @@ def cmd_buildg(args) -> int:
     -p cfg with MinOverlap4BuildGraph, -m memory budget (sets the parGraph
     chunk size exactly like the reference), -w explicit chunk override;
     -t accepted for compatibility, scheduling is device-driven here)."""
+    if args.backend:
+        os.environ["DISCO_TPU_BACKEND"] = args.backend
+    if args.n and args.n > 1:
+        _prepare_devices(args.n)
     from .buildg.pipeline import run_buildg
 
     paired = args.pe.split(",") if args.pe else []
@@ -273,6 +298,11 @@ def main(argv=None) -> int:
     a.add_argument("-ecc-m", dest="ecc_m", type=int, default=0,
                    help="BBTools max memory GB for -ecc (-Xmx)")
     a.add_argument("--write-par-graph-size", type=int, default=1000)
+    a.add_argument("-backend", choices=["device", "native", "xla"],
+                   help="overlap-phase engine: device (TPU jit pipeline; "
+                        "default when an accelerator is present), native "
+                        "(C++/OpenMP host kernel; default on CPU-only), "
+                        "xla (cross-check oracle)")
     a.set_defaults(fn=cmd_assemble)
 
     pp = sub.add_parser("preprocess",
@@ -308,6 +338,8 @@ def main(argv=None) -> int:
     b.add_argument("-n", type=int, default=0,
                    help="devices for distributed build (buildG-MPI/-MPIRMA "
                         "equivalent)")
+    b.add_argument("-backend", choices=["device", "native", "xla"],
+                   help="overlap-phase engine (see assemble -backend)")
     b.set_defaults(fn=cmd_buildg)
 
     fsim = sub.add_parser("simplify",

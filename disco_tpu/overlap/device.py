@@ -160,6 +160,85 @@ def device_overlap(packed, packed_all, lengths, starts, keys, tread, torient,
                                n_hits)
 
 
+class DeviceCompactResult(NamedTuple):
+    """Device-side compacted verified hits for one window chunk.
+
+    Rows are emitted in (window, table-slot) order == the reference's
+    (r1, j, bucket-scan) relation order.  `count` may exceed `out_cap`
+    (compaction overflow) — the caller must then re-run the chunk through
+    an exact fallback path."""
+    wi: jax.Array        # (out_cap,) int32 window index within the chunk
+    r2: jax.Array        # (out_cap,) int32 candidate read id
+    orient: jax.Array    # (out_cap,) int32 hit orientation
+    typ: jax.Array       # (out_cap,) int32 record type
+    flags: jax.Array     # (out_cap,) int32 bit0=edge_ok bit1=cont_ok
+    count: jax.Array     # () int32 verified rows in the chunk
+    over: jax.Array      # (Q,) bool window's key bucket exceeded hit_cap
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_words", "max_len", "hit_cap", "out_cap"))
+def device_overlap_compact(packed, packed_all, lengths, starts, keys, tread,
+                           torient, ttyp, *, k, n_words, max_len, hit_cap,
+                           out_cap):
+    """Same pipeline as `device_overlap`, plus on-device compaction of the
+    verified-hit grid into dense rows, so only O(hits) words travel back to
+    the host per chunk instead of the full (Q, hit_cap) grids.  This is the
+    production single-chip overlap step (the reference's hot loop,
+    src/BuildGraph/src/OverlapGraph.cpp:401-478,631-674)."""
+    n_reads = lengths.shape[0]
+    qread = (starts // max_len).astype(jnp.int32)
+    qj = (starts % max_len).astype(jnp.int32)
+
+    wbase = qj // 16
+    phase = (2 * (qj % 16)).astype(jnp.uint32)
+    wlim = packed.shape[1] - 1
+    w0 = packed[qread, jnp.minimum(wbase, wlim)].astype(jnp.uint64)
+    w1 = packed[qread, jnp.minimum(wbase + 1, wlim)].astype(jnp.uint64)
+    w2 = packed[qread, jnp.minimum(wbase + 2, wlim)].astype(jnp.uint64)
+    hi = (w0 << jnp.uint64(32)) | w1
+    phase64 = phase.astype(jnp.uint64)
+    win = jnp.where(
+        phase64 == 0, hi,
+        (hi << phase64) | ((w2 >> (jnp.uint64(31) - phase64))
+                           >> jnp.uint64(1)))
+    kk = min(k, 32)
+    qcode = win >> jnp.uint64(64 - 2 * kk)
+
+    lo = jnp.searchsorted(keys, qcode, side="left")
+    hi_i = jnp.searchsorted(keys, qcode, side="right")
+    over = (hi_i - lo) > hit_cap
+    tpos = lo[:, None] + jnp.arange(hit_cap, dtype=lo.dtype)[None, :]
+    valid = (tpos < hi_i[:, None]) & ~over[:, None]
+    tpos = jnp.clip(tpos, 0, keys.shape[0] - 1)
+    r2 = jnp.where(valid, tread[tpos], 0).astype(jnp.int32)
+    orient = jnp.where(valid, torient[tpos], 0).astype(jnp.int32)
+    typ = jnp.where(valid, ttyp[tpos], 0).astype(jnp.int32)
+
+    edge_ok, cont_ok = candidate_checks(packed_all, lengths, qread, qj, r2,
+                                        orient, valid, k=k, n_words=n_words)
+
+    # ---- compaction: scatter kept rows to their rank ------------------
+    q = qread.shape[0]
+    keep = (edge_ok | cont_ok).reshape(-1)
+    win_idx = jnp.broadcast_to(
+        jnp.arange(q, dtype=jnp.int32)[:, None], (q, hit_cap)).reshape(-1)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    idx = jnp.where(keep, pos, out_cap)  # OOB -> dropped
+    flags = (edge_ok.astype(jnp.int32)
+             | (cont_ok.astype(jnp.int32) << 1)).reshape(-1)
+
+    def scat(vals):
+        return jnp.zeros(out_cap, jnp.int32).at[idx].set(
+            vals, mode="drop")
+
+    return DeviceCompactResult(
+        wi=scat(win_idx), r2=scat(r2.reshape(-1)),
+        orient=scat(orient.reshape(-1)), typ=scat(typ.reshape(-1)),
+        flags=scat(flags), count=keep.sum().astype(jnp.int32), over=over)
+
+
 class DeviceOverlapEngine:
     """Host wrapper: builds device-resident table/store and exposes the
     jitted overlap step over window chunks."""
@@ -207,3 +286,33 @@ class DeviceOverlapEngine:
                     [part, np.full(chunk - (e - s), part[-1],
                                    part.dtype)])
             yield e - s, self.run(part)
+
+    def run_compact(self, starts, out_cap: int) -> DeviceCompactResult:
+        return device_overlap_compact(
+            self.packed, self.packed_all, self.lengths,
+            jnp.asarray(starts), self.keys, self.tread, self.torient,
+            self.ttyp, k=self.k, n_words=self.store.n_words,
+            max_len=self.store.max_len, hit_cap=self.hit_cap,
+            out_cap=out_cap)
+
+    def run_compact_chunked(self, starts: np.ndarray, chunk: int = 1 << 19,
+                            out_cap: int = None):
+        """Yield (n_real, DeviceCompactResult) per fixed-size chunk, with a
+        1-deep dispatch pipeline (chunk i+1 launches before chunk i's
+        results are pulled) to overlap host compaction with device work."""
+        if out_cap is None:
+            out_cap = chunk
+        q = len(starts)
+        pending = None
+        for s in range(0, q, chunk):
+            e = min(s + chunk, q)
+            part = starts[s:e]
+            if e - s < chunk:
+                part = np.concatenate(
+                    [part, np.full(chunk - (e - s), part[-1], part.dtype)])
+            res = self.run_compact(part, out_cap)
+            if pending is not None:
+                yield pending
+            pending = (e - s, res)
+        if pending is not None:
+            yield pending

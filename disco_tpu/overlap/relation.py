@@ -87,19 +87,44 @@ def window_codes(store: ReadStore, k: int):
     return qread, qj, qcode
 
 
+def default_backend() -> str:
+    """Production backend selection: the TPU (or any non-CPU accelerator)
+    when present, else the native C++/OpenMP host kernel.  Overridable via
+    DISCO_TPU_BACKEND=native|device|xla."""
+    import os
+    env = os.environ.get("DISCO_TPU_BACKEND")
+    if env:
+        return env
+    try:
+        import jax
+        if jax.default_backend() != "cpu":
+            return "device"
+    except Exception:
+        pass
+    return "native"
+
+
 def compute_relation(store: ReadStore, table: FingerprintTable,
                      chunk: int = 1 << 22,
-                     backend: str = "native") -> OverlapRelation:
+                     backend: str = None) -> OverlapRelation:
     """Verified overlap/containment relation over all read windows.
 
-    backend="native" (default): the C++/OpenMP kernel
-    (disco_tpu/native/overlap.cpp) — window scan, radix-accelerated
-    sorted-table lookup, and packed-word verification in one pass, emitting
-    hits directly in relation order.
+    backend="device": the jit device pipeline (overlap/device.py) — window
+    codes, sorted-table lookup, candidate verification and hit compaction
+    all on the accelerator; per-window bucket overflow beyond the hit cap
+    falls back to the exact XLA expansion path.  Default when an
+    accelerator is present (see `default_backend`).
+
+    backend="native": the C++/OpenMP kernel (disco_tpu/native/overlap.cpp)
+    — window scan, radix-accelerated sorted-table lookup, and packed-word
+    verification in one pass, emitting hits directly in relation order.
+    Default on CPU-only hosts.
 
     backend="xla": the jit-verifier path kept as a cross-check oracle.
     Candidate pairs are expanded and verified in chunks of `chunk`
     candidates so the host never materialises the full candidate list."""
+    if backend is None:
+        backend = default_backend()
     if backend == "native":
         from .. import native
         out = native.overlap_relation(
@@ -109,12 +134,30 @@ def compute_relation(store: ReadStore, table: FingerprintTable,
             r1=out["r1"], j=out["j"], r2=out["r2"], orient=out["orient"],
             typ=out["typ"], cont_ok=out["cont_ok"], edge_ok=out["edge_ok"],
             k=table.k)
+    if backend == "device":
+        return _device_relation(store, table)
+    if backend != "xla":
+        raise ValueError(f"unknown backend {backend!r}")
     k = table.k
     qread, qj, qcode = window_codes(store, k)
+    rows = _xla_rows(store, table, qread, qj, qcode, chunk)
+    return _sorted_relation(store, rows, k)
+
+
+def _xla_rows(store: ReadStore, table: FingerprintTable, qread, qj, qcode,
+              chunk: int = 1 << 22):
+    """Expand + verify the given windows with the jitted verifier; returns
+    the kept-row dict (unsorted).  Shared by the XLA backend and the device
+    backend's bucket-overflow fallback."""
+    k = table.k
     lo, hi = table.lookup_ranges(qcode)
     counts = (hi - lo).astype(np.int64)
     cum = np.concatenate([[0], np.cumsum(counts)])
     total = int(cum[-1])
+    # don't pad a small workload up to a huge jit batch: round the chunk
+    # down to the next power of two >= total
+    while chunk >= 2 and chunk // 2 >= total:
+        chunk //= 2
 
     n = store.n_reads
     packed_all = _verify.make_packed_all(store.packed, store.packed_rc)
@@ -202,18 +245,89 @@ def compute_relation(store: ReadStore, table: FingerprintTable,
             return np.zeros(0, dtype or np.int32)
         return np.concatenate(kept[name])
 
-    r1 = cat("r1")
-    j = cat("j")
-    r2 = cat("r2")
-    orient = cat("orient", np.int8)
-    typ = cat("typ", np.int8)
-    cont_ok = cat("cont_ok", np.bool_)
-    edge_ok = cat("edge_ok", np.bool_)
+    return {"r1": cat("r1"), "j": cat("j"), "r2": cat("r2"),
+            "orient": cat("orient", np.int8), "typ": cat("typ", np.int8),
+            "cont_ok": cat("cont_ok", np.bool_),
+            "edge_ok": cat("edge_ok", np.bool_)}
 
-    # hits per (r1, j) ordered like the reference's bucket scan: by the
-    # candidate's FILE index (insertion order), prefix record first
-    fidx2 = store.file_index[r2]
-    order = np.lexsort((typ, fidx2, j, r1))
+
+def _sorted_relation(store: ReadStore, rows: dict, k: int) -> OverlapRelation:
+    """Sort kept rows into the reference's relation order: hits per (r1, j)
+    ordered like the bucket scan — by the candidate's FILE index (insertion
+    order), prefix record first."""
+    fidx2 = store.file_index[rows["r2"]]
+    order = np.lexsort((rows["typ"], fidx2, rows["j"], rows["r1"]))
     return OverlapRelation(
-        r1=r1[order], j=j[order], r2=r2[order], orient=orient[order],
-        typ=typ[order], cont_ok=cont_ok[order], edge_ok=edge_ok[order], k=k)
+        r1=rows["r1"][order], j=rows["j"][order], r2=rows["r2"][order],
+        orient=rows["orient"][order], typ=rows["typ"][order],
+        cont_ok=rows["cont_ok"][order], edge_ok=rows["edge_ok"][order], k=k)
+
+
+def _device_relation(store: ReadStore, table: FingerprintTable,
+                     chunk: int = 1 << 19, hit_cap: int = 16,
+                     ) -> OverlapRelation:
+    """Production on-chip overlap phase (VERDICT r2 §next-1): the full
+    window scan runs through the jit device pipeline with on-device hit
+    compaction (overlap/device.py::device_overlap_compact); windows whose
+    key bucket exceeds `hit_cap` (rare at sane k) are re-verified exactly
+    on the host via the XLA expansion path.  Output is identical to the
+    native backend: same rows, same (r1, j, bucket-scan) order.
+
+    Displaces the reference's hot loop
+    (src/BuildGraph/src/OverlapGraph.cpp:631-674)."""
+    from .device import DeviceOverlapEngine
+
+    k = table.k
+    qread, qj, qcode = window_codes(store, k)
+    q = len(qread)
+    eng = DeviceOverlapEngine(store, table, hit_cap=hit_cap)
+    starts = (qread.astype(np.int64) * store.max_len
+              + qj.astype(np.int64))
+
+    parts = {n: [] for n in ("r1", "j", "r2", "orient", "typ",
+                             "cont_ok", "edge_ok")}
+    over_windows = []
+
+    def collect(s, n_real, res):
+        count = int(res.count)
+        over = np.asarray(res.over)[:n_real]
+        if over.any():
+            over_windows.append(s + np.nonzero(over)[0])
+        if count > chunk:  # compaction overflow: exact re-run of the chunk
+            sub = np.arange(s, s + n_real)
+            over_windows.append(sub[~over])
+            return
+        wi = np.asarray(res.wi)[:count]
+        sel = wi < n_real  # drop pad-window repeats
+        gwi = s + wi[sel]
+        flags = np.asarray(res.flags)[:count][sel]
+        parts["r1"].append(qread[gwi])
+        parts["j"].append(qj[gwi])
+        parts["r2"].append(np.asarray(res.r2)[:count][sel])
+        parts["orient"].append(
+            np.asarray(res.orient)[:count][sel].astype(np.int8))
+        parts["typ"].append(np.asarray(res.typ)[:count][sel].astype(np.int8))
+        parts["edge_ok"].append((flags & 1).astype(bool))
+        parts["cont_ok"].append((flags & 2).astype(bool))
+
+    s = 0
+    for n_real, res in eng.run_compact_chunked(starts, chunk=chunk):
+        collect(s, n_real, res)
+        s += n_real
+
+    if over_windows:
+        ow = np.concatenate(over_windows)
+        fb = _xla_rows(store, table, qread[ow], qj[ow], qcode[ow])
+        for n in parts:
+            parts[n].append(fb[n])
+
+    def cat(name, dtype):
+        if not parts[name]:
+            return np.zeros(0, dtype)
+        return np.concatenate(parts[name]).astype(dtype, copy=False)
+
+    rows = {"r1": cat("r1", np.int32), "j": cat("j", np.int32),
+            "r2": cat("r2", np.int32), "orient": cat("orient", np.int8),
+            "typ": cat("typ", np.int8), "cont_ok": cat("cont_ok", np.bool_),
+            "edge_ok": cat("edge_ok", np.bool_)}
+    return _sorted_relation(store, rows, k)
