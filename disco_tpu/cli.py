@@ -119,7 +119,8 @@ def cmd_assemble(args) -> int:
             from .dist.builder import run_buildg_sharded
             run_buildg_sharded(buildg_paired, single_files, graph_prefix,
                                _mesh(args.n), min_overlap=min_ovl,
-                               write_par_graph_size=args.write_par_graph_size)
+                               write_par_graph_size=args.write_par_graph_size,
+                               dist_mem=args.rma)
         else:
             run_buildg(buildg_paired, single_files, graph_prefix,
                        min_overlap=min_ovl,
@@ -182,7 +183,8 @@ def cmd_buildg(args) -> int:
     if args.n and args.n > 1:
         from .dist.builder import run_buildg_sharded
         run_buildg_sharded(paired, single, args.f, _mesh(args.n),
-                           min_overlap=min_ovl, write_par_graph_size=wsize)
+                           min_overlap=min_ovl, write_par_graph_size=wsize,
+                           dist_mem=args.rma)
     else:
         run_buildg(paired, single, args.f, min_overlap=min_ovl,
                    write_par_graph_size=wsize)
@@ -286,8 +288,10 @@ def main(argv=None) -> int:
                    help="devices for distributed graph build "
                         "(runDisco-MPI -n equivalent)")
     a.add_argument("-rma", action="store_true",
-                   help="accepted for runDisco-MPI.sh parity; the sharded "
-                        "engine always hash-shards the table (MULTIHOST.md)")
+                   help="dist-mem mode (buildG-MPIRMA equivalent): partition "
+                        "the packed read payload across the mesh; per-device "
+                        "memory O(N/n). Default replicates the payload "
+                        "(buildG-MPI equivalent)")
     a.add_argument("-ecc", action="store_true",
                    help="BBTools preprocessing before assembly "
                         "(runAssembly.sh equivalent; needs -bbmap)")
@@ -340,6 +344,9 @@ def main(argv=None) -> int:
                         "equivalent)")
     b.add_argument("-backend", choices=["device", "native", "xla"],
                    help="overlap-phase engine (see assemble -backend)")
+    b.add_argument("-rma", action="store_true",
+                   help="dist-mem mode: partition the read payload across "
+                        "the -n device mesh (buildG-MPIRMA equivalent)")
     b.set_defaults(fn=cmd_buildg)
 
     fsim = sub.add_parser("simplify",

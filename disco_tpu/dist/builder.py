@@ -18,13 +18,14 @@ from ..index.table import FingerprintTable
 from ..io.readstore import ReadStore
 from ..overlap.relation import OverlapRelation, window_codes
 from ..overlap.verify import make_packed_all
-from .overlap_shard import ShardedOverlapEngine
+from .overlap_shard import DistMemOverlapEngine, ShardedOverlapEngine
 
 
 def sharded_relation(store: ReadStore, table: FingerprintTable, mesh: Mesh,
                      hit_cap: Optional[int] = None,
                      route_cap: Optional[int] = None,
-                     budget: int = 1 << 25) -> OverlapRelation:
+                     budget: int = 1 << 25,
+                     dist_mem: bool = False) -> OverlapRelation:
     """Compute the verified overlap relation on the mesh.
 
     Queries run in fixed-size chunks per superstep so device memory stays
@@ -35,7 +36,11 @@ def sharded_relation(store: ReadStore, table: FingerprintTable, mesh: Mesh,
 
     hit_cap defaults to the table's largest key bucket, so the hit grids
     are lossless by construction; the chunk size shrinks to keep
-    chunk * hit_cap at the budget."""
+    chunk * hit_cap at the budget.
+
+    dist_mem=True partitions the packed read payload across the mesh
+    (DistMemOverlapEngine — the buildG-MPIRMA equivalent, per-device
+    payload O(N/n_dev)); False replicates it (buildG-MPI equivalent)."""
     n_dev = mesh.devices.size
     qread, qj, qcode = window_codes(store, table.k)
     q = len(qread)
@@ -49,11 +54,28 @@ def sharded_relation(store: ReadStore, table: FingerprintTable, mesh: Mesh,
     if route_cap is None:
         # every query of a shard's slice could land on one owner shard
         route_cap = -(-(chunk // n_dev) // 8) * 8
-    eng = ShardedOverlapEngine.build(store, table, mesh, hit_cap=hit_cap,
-                                     route_cap=route_cap)
-    step = eng.make_step()
+    if dist_mem:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        eng = DistMemOverlapEngine.build(store, table, mesh,
+                                         hit_cap=hit_cap,
+                                         route_cap=route_cap)
+        step_dm, (packed_sh, packed_rc_sh) = eng.make_step(store,
+                                                           q_chunk=chunk)
+        # commit the payload to the mesh once, row-sharded: each device
+        # holds only its N/n_dev read slice
+        shard = NamedSharding(mesh, P("dp"))
+        packed_sh = jax.device_put(packed_sh, shard)
+        packed_rc_sh = jax.device_put(packed_rc_sh, shard)
 
-    packed_all = make_packed_all(store.packed, store.packed_rc)
+        def step(_pa, lengths, qread, qj, qcode, marked):
+            return step_dm(packed_sh, packed_rc_sh, lengths, qread, qj,
+                           qcode, marked)
+        packed_all = None
+    else:
+        eng = ShardedOverlapEngine.build(store, table, mesh, hit_cap=hit_cap,
+                                         route_cap=route_cap)
+        step = eng.make_step()
+        packed_all = make_packed_all(store.packed, store.packed_rc)
     lengths = np.asarray(store.lengths, np.int32)
     marked = np.zeros(store.n_reads, np.int32)
     marked = np.pad(marked, (0, (-len(marked)) % n_dev))
@@ -118,15 +140,17 @@ def sharded_relation(store: ReadStore, table: FingerprintTable, mesh: Mesh,
 def run_buildg_sharded(paired_files: Sequence[str],
                        single_files: Sequence[str], prefix: str,
                        mesh: Mesh, min_overlap: int = 30,
-                       write_par_graph_size: int = 1000):
+                       write_par_graph_size: int = 1000,
+                       dist_mem: bool = False):
     """Distributed buildG: same outputs as buildg.pipeline.run_buildg, with
-    the overlap phase executed over the mesh."""
+    the overlap phase executed over the mesh.  dist_mem selects the
+    partitioned-payload engine (buildG-MPIRMA equivalent, CLI -rma)."""
     from ..buildg import replay
 
     store = ReadStore.from_files(paired_files, single_files, min_overlap,
                                  id_map_path=prefix + "_ReadIDMap.txt")
     table = FingerprintTable.build(store, min_overlap - 1)
-    rel = sharded_relation(store, table, mesh)
+    rel = sharded_relation(store, table, mesh, dist_mem=dist_mem)
     superread, cont_lines = replay.containment_replay(rel, store)
     par_blob = replay.build_graph_replay_native(rel, store, superread,
                                                 write_par_graph_size)

@@ -33,26 +33,30 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..index.table import FingerprintTable
 from ..io.readstore import ReadStore
-from ..overlap.device import candidate_checks
+from ..overlap.device import candidate_checks, candidate_checks_rows
 
 AXIS = "dp"
 
 
 def _bin_by_owner(owner, n_bins, cap):
     """Scatter indices [0, Q) into an (n_bins, cap) slot matrix by owner id.
-    Returns (slots int32, -1 padding; overflow count). Overflowing entries
-    are dropped via an out-of-bounds row index."""
+    Entries with owner >= n_bins are skipped silently (callers use owner =
+    n_bins as a "route nowhere" sentinel).  Returns (slots int32, -1
+    padding; overflow count of real entries that did not fit their bin)."""
     q = owner.shape[0]
+    owner = jnp.minimum(owner.astype(jnp.int32), n_bins)
     order = jnp.argsort(owner, stable=True)
-    sowner = owner[order].astype(jnp.int32)
+    sowner = owner[order]
     start = jnp.searchsorted(sowner, jnp.arange(n_bins, dtype=jnp.int32))
-    rank = jnp.arange(q, dtype=jnp.int32) - start[sowner]
-    valid = rank < cap
+    in_range = sowner < n_bins
+    rank = jnp.arange(q, dtype=jnp.int32) - start[jnp.minimum(
+        sowner, n_bins - 1)]
+    valid = (rank < cap) & in_range
     row = jnp.where(valid, sowner, n_bins)          # OOB row -> dropped
     col = jnp.where(valid, rank, 0)
     slots = jnp.full((n_bins, cap), -1, jnp.int32)
     slots = slots.at[row, col].set(order.astype(jnp.int32), mode="drop")
-    overflow = q - valid.sum()
+    overflow = in_range.sum() - valid.sum()
     return slots, overflow
 
 
@@ -203,3 +207,211 @@ class ShardedOverlapEngine:
             return fn(packed_all, lengths, qread, qj, qcode, marked,
                       keys, read, orient, typ, sizes)
         return run
+
+
+# ---------------------------------------------------------------------------
+# Dist-mem mode: read payload partitioned across the mesh
+# ---------------------------------------------------------------------------
+@dataclass
+class DistMemOverlapEngine(ShardedOverlapEngine):
+    """The BuildGraphMPIRMA equivalent with a truly partitioned read store.
+
+    Disco's RMA mode partitions the hash DATA table — which holds the packed
+    read sequences — across ranks and fetches remote reads on demand with
+    MPI_Get + software caches (reference:
+    src/BuildGraphMPIRMA/src/HashTable.cpp:92-119,422-435,648-708).  Here the
+    packed read payload (forward + rc rows) is sharded over the mesh
+    round-robin by read id (owner = read % n_shards — round-robin because a
+    superstep's query slice covers a CONTIGUOUS read range, which under
+    blocked ownership would direct every read1 fetch at one owner), and each
+    superstep fetches exactly the rows it needs with one bulk-synchronous
+    all_to_all exchange pair per direction — the latency-amortized TPU
+    equivalent of the reference's per-probe one-sided Gets (SURVEY.md §5.8).
+
+    Replicated per device: the fingerprint table SHARD (by key owner), read
+    lengths, and the marked bitmap.  The reference replicates strictly more —
+    its whole bucket-offset index (HashTable.cpp:92-119 keeps the index
+    replicated; only the data window is partitioned).  Lengths are ~2% of
+    payload bytes (4 B vs ~2×(L/4) B per read).
+
+    Per-device memory: O(N/n_dev) payload + O(chunk · hit_cap) superstep
+    state, so a dataset that does not fit one chip's HBM fits the mesh.
+    """
+    fetch_cap: int = 0
+
+    @classmethod
+    def build(cls, store: ReadStore, table: FingerprintTable, mesh: Mesh,
+              hit_cap: int = 8, route_cap: int = 4096,
+              fetch_cap: int = 0) -> "DistMemOverlapEngine":
+        base = ShardedOverlapEngine.build(store, table, mesh,
+                                          hit_cap=hit_cap,
+                                          route_cap=route_cap)
+        return cls(mesh=base.mesh, n_words=base.n_words, k=base.k,
+                   hit_cap=base.hit_cap, route_cap=base.route_cap,
+                   keys=base.keys, read=base.read, orient=base.orient,
+                   typ=base.typ, sizes=base.sizes, fetch_cap=fetch_cap)
+
+    @staticmethod
+    def shard_payload(store: ReadStore, n_shards: int):
+        """Host-side payload layout: permute reads so shard s's contiguous
+        slice holds exactly the reads {r : r % n_shards == s} (round-robin
+        ownership), padded to n_shards * block rows.  Returns
+        (packed_sh, packed_rc_sh, block)."""
+        n = store.n_reads
+        block = -(-n // n_shards)
+        wp = store.packed.shape[1]
+        packed_sh = np.zeros((n_shards * block, wp), np.uint32)
+        packed_rc_sh = np.zeros((n_shards * block, wp), np.uint32)
+        rid = np.arange(n)
+        dst = (rid % n_shards) * block + rid // n_shards
+        packed_sh[dst] = store.packed
+        packed_rc_sh[dst] = store.packed_rc
+        return packed_sh, packed_rc_sh, block
+
+    # ------------------------------------------------------------------
+    def _fetch_rows(self, row_ids, pfwd, prc, n_reads, block, cap):
+        """Exchange-fetch packed rows by global row id in [0, 2N): ids
+        [0, N) are forward rows, [N, 2N) rc rows; read r is owned by shard
+        r % n_shards.  Returns ((R, W+1) rows, overflow count)."""
+        n_shards = jax.lax.psum(1, AXIS)
+        r = row_ids.shape[0]
+        rid = (jnp.abs(row_ids) % n_reads).astype(jnp.int32)
+        # id < 0 = "no fetch needed" sentinel -> owner n_shards (dropped)
+        owner = jnp.where(row_ids < 0, n_shards, rid % n_shards)
+        slots, overflow = _bin_by_owner(owner, n_shards, cap)
+        slot_valid = slots >= 0
+        req = jnp.where(slot_valid, row_ids[jnp.clip(slots, 0)], 0)
+        req = req.astype(jnp.int32)
+        req_in = jax.lax.all_to_all(req, AXIS, 0, 0, tiled=True)
+        # owner-local gather
+        rid_in = req_in % n_reads
+        local = jnp.clip(rid_in // n_shards, 0, block - 1)
+        is_rc = (req_in >= n_reads)[..., None]
+        rows = jnp.where(is_rc, prc[local], pfwd[local])
+        rows_back = jax.lax.all_to_all(rows, AXIS, 0, 0, tiled=True)
+        # scatter replies to request order
+        flat_slots = slots.reshape(-1)
+        src = jnp.where(flat_slots >= 0, flat_slots, r)
+        wp = pfwd.shape[-1]
+        out = jnp.zeros((r, wp), jnp.uint32).at[src].set(
+            rows_back.reshape(-1, wp), mode="drop")
+        return out, overflow
+
+    def _superstep_dm(self, pfwd, prc, lengths, qread, qj, qcode, marked,
+                      lkeys, lread, lorient, ltyp, lsize, n_reads, block):
+        """Dist-mem superstep: key-owner candidate lookup (as in the base
+        engine) + payload row fetch + local verification on fetched rows."""
+        n_shards = jax.lax.psum(1, AXIS)
+        hit_cap = self.hit_cap
+        route_cap = self.route_cap
+        q_local = qread.shape[0]
+
+        marked_union = jax.lax.all_gather(marked, AXIS, tiled=True)
+
+        owner = (qcode % jnp.uint64(n_shards)).astype(jnp.int32)
+        slots, overflow = _bin_by_owner(owner, n_shards, route_cap)
+        slot_valid = slots >= 0
+        q_idx = jnp.clip(slots, 0)
+        codes_out = jnp.where(slot_valid, qcode[q_idx], jnp.uint64(0))
+        codes_in = jax.lax.all_to_all(codes_out, AXIS, 0, 0, tiled=True)
+        valid_in = jax.lax.all_to_all(slot_valid, AXIS, 0, 0, tiled=True)
+
+        flat_codes = codes_in.reshape(-1)
+        lo = jnp.minimum(jnp.searchsorted(lkeys, flat_codes, side="left"),
+                         lsize)
+        hi = jnp.minimum(jnp.searchsorted(lkeys, flat_codes, side="right"),
+                         lsize)
+        tpos = lo[:, None] + jnp.arange(hit_cap, dtype=lo.dtype)[None, :]
+        hit_valid = (tpos < hi[:, None]) & valid_in.reshape(-1)[:, None]
+        overflow = overflow + ((hi - lo) > hit_cap).sum()
+        tpos = jnp.clip(tpos, 0, lkeys.shape[0] - 1)
+        hit_read = jnp.where(hit_valid, lread[tpos], 0).astype(jnp.int32)
+        hit_orient = jnp.where(hit_valid, lorient[tpos], 0).astype(jnp.int32)
+        hit_typ = jnp.where(hit_valid, ltyp[tpos], 0).astype(jnp.int32)
+
+        def back(x):
+            return jax.lax.all_to_all(
+                x.reshape(n_shards, route_cap, hit_cap), AXIS, 0, 0,
+                tiled=True).reshape(n_shards * route_cap, hit_cap)
+
+        hit_read = back(hit_read)
+        hit_orient = back(hit_orient)
+        hit_typ = back(hit_typ)
+        pair_valid = back(hit_valid)
+
+        flat_slots = slots.reshape(-1)
+        src = jnp.where(flat_slots >= 0, flat_slots, q_local)
+        r2 = jnp.zeros((q_local, hit_cap), jnp.int32)
+        orient = jnp.zeros((q_local, hit_cap), jnp.int32)
+        typ = jnp.zeros((q_local, hit_cap), jnp.int32)
+        valid = jnp.zeros((q_local, hit_cap), jnp.bool_)
+        r2 = r2.at[src].set(hit_read, mode="drop")
+        orient = orient.at[src].set(hit_orient, mode="drop")
+        typ = typ.at[src].set(hit_typ, mode="drop")
+        valid = valid.at[src].set(pair_valid, mode="drop")
+
+        # ---- payload fetch: read1 rows (forward) + candidate rows ------
+        from ..overlap.device import _USE_RC
+        use_rc = _USE_RC[orient]
+        rows2_id = jnp.where(use_rc, r2 + n_reads, r2)
+        rows2_id = jnp.where(valid, rows2_id, -1)  # invalid slot: no fetch
+        all_ids = jnp.concatenate(
+            [qread.astype(jnp.int32), rows2_id.reshape(-1)])
+        cap = self.fetch_cap
+        fetched, f_overflow = self._fetch_rows(all_ids, pfwd, prc, n_reads,
+                                               block, cap)
+        overflow = overflow + f_overflow
+        rows1 = fetched[:q_local]
+        rows2 = fetched[q_local:].reshape(q_local, hit_cap, -1)
+
+        edge_ok, cont_ok = candidate_checks_rows(
+            rows1, rows2, lengths, qread, qj, r2, orient, valid, k=self.k)
+        return (r2, orient, typ, edge_ok, cont_ok, overflow[None],
+                marked_union[None, :])
+
+    def make_step(self, store: ReadStore = None, q_chunk: int = None):
+        """Returns (step, payload): `payload` = (packed_sh, packed_rc_sh)
+        host arrays laid out for sharding; step(packed_sh, packed_rc_sh,
+        lengths, qread, qj, qcode, marked) -> same outputs as the base
+        engine's step.  The payload enters shard_map with in_spec P(AXIS),
+        so each device's addressable shard is its own N/n_dev read slice."""
+        assert store is not None, "DistMemOverlapEngine.make_step needs store"
+        mesh = self.mesh
+        n_shards = mesh.devices.size
+        n_reads = store.n_reads
+        packed_sh, packed_rc_sh, block = self.shard_payload(store, n_shards)
+        if self.fetch_cap <= 0:
+            # expected fetch load per peer pair: ids spread ~uniformly under
+            # round-robin ownership; 2x headroom, rounded up to lanes
+            if q_chunk is None:
+                raise ValueError("pass q_chunk or an explicit fetch_cap")
+            per_shard = q_chunk // n_shards
+            ids = per_shard * (1 + self.hit_cap)
+            self.fetch_cap = -(-(2 * ids) // (8 * n_shards)) * 8
+
+        keys = jnp.asarray(self.keys)
+        read = jnp.asarray(self.read)
+        orient = jnp.asarray(self.orient)
+        typ = jnp.asarray(self.typ)
+        sizes = jnp.asarray(self.sizes)
+
+        def body(pfwd, prc, lengths, qread, qj, qcode, marked,
+                 keys_s, read_s, orient_s, typ_s, size_s):
+            return self._superstep_dm(
+                pfwd, prc, lengths, qread, qj, qcode, marked,
+                keys_s[0], read_s[0], orient_s[0], typ_s[0], size_s[0],
+                n_reads, block)
+
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(), P(AXIS), P(AXIS), P(AXIS),
+                      P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                       P(AXIS), P(AXIS)),
+            check_vma=False)
+
+        @jax.jit
+        def run(packed_sh, packed_rc_sh, lengths, qread, qj, qcode, marked):
+            return fn(packed_sh, packed_rc_sh, lengths, qread, qj, qcode,
+                      marked, keys, read, orient, typ, sizes)
+        return run, (packed_sh, packed_rc_sh)

@@ -160,6 +160,75 @@ def device_overlap(packed, packed_all, lengths, starts, keys, tread, torient,
                                n_hits)
 
 
+def candidate_checks_rows(rows1, rows2, lengths, qread, qj, r2, orient,
+                          valid, *, k):
+    """`candidate_checks` over pre-fetched packed rows instead of a resident
+    (2N, W+1) store: rows1 (Q, W+1) is read1's forward row, rows2
+    (Q, H, W+1) is the candidate's forward-or-rc row (the caller resolves
+    orientation before fetching).  Used by the dist-mem superstep
+    (disco_tpu.dist.overlap_shard.DistMemOverlapEngine), where the read
+    payload is partitioned across the mesh and only the needed rows are
+    exchanged (reference's RMA fetch: src/BuildGraphMPIRMA/src/HashTable.cpp:665-708).
+    Geometry is identical to `candidate_checks`
+    (reference: src/BuildGraph/src/OverlapGraph.cpp:517-595)."""
+    wlim = rows1.shape[-1] - 1
+    len1 = lengths[qread][:, None]
+    len2 = lengths[r2]
+    j = qj[:, None]
+    suffix_case = _IS_SUFFIX[orient]
+
+    e_valid = jnp.where(suffix_case, j <= len2 - k, (len1 - j) < len2)
+    e_valid &= (j >= 1) & (qread[:, None] != r2) & valid
+    e_n = jnp.where(suffix_case, j + k, len1 - j).astype(jnp.int32)
+    e_n = jnp.where(e_valid, e_n, 0)
+    e_o1 = jnp.where(suffix_case, 0, j).astype(jnp.int32)
+    e_o1 = jnp.broadcast_to(e_o1, r2.shape)
+    e_o2 = jnp.maximum(jnp.where(suffix_case, len2 - e_n, 0), 0)
+
+    c_valid = jnp.where(suffix_case, j >= len2 - k, j + len2 <= len1)
+    c_valid &= (qread[:, None] != r2) & valid
+    c_n = jnp.where(c_valid, len2, 0).astype(jnp.int32)
+    c_o1 = jnp.where(suffix_case, j + k - len2, j).astype(jnp.int32)
+    c_o1 = jnp.maximum(c_o1, 0)
+    c_o1 = jnp.broadcast_to(c_o1, r2.shape)
+
+    n_words = rows1.shape[-1] - 1
+
+    def check(o1, o2, nl):
+        bit1 = (2 * (o1 % 16)).astype(jnp.uint32)
+        bit2 = (2 * (o2 % 16)).astype(jnp.uint32)
+        ok = jnp.ones(r2.shape, jnp.bool_)
+        for wi in range(n_words):
+            rem = nl - 16 * wi
+            idx1 = jnp.minimum(o1 // 16 + wi, wlim)
+            a0 = jnp.take_along_axis(rows1, idx1, axis=1)
+            a1 = jnp.take_along_axis(rows1, jnp.minimum(idx1 + 1, wlim),
+                                     axis=1)
+            idx2 = jnp.minimum(o2 // 16 + wi, wlim)
+            b0 = jnp.take_along_axis(rows2, idx2[..., None], axis=2)[..., 0]
+            b1 = jnp.take_along_axis(
+                rows2, jnp.minimum(idx2 + 1, wlim)[..., None],
+                axis=2)[..., 0]
+            x = jnp.where(bit1 == 0, a0,
+                          (a0 << bit1) | ((a1 >> (jnp.uint32(31) - bit1))
+                                          >> jnp.uint32(1)))
+            y = jnp.where(bit2 == 0, b0,
+                          (b0 << bit2) | ((b1 >> (jnp.uint32(31) - bit2))
+                                          >> jnp.uint32(1)))
+            full = jnp.uint32(0xFFFFFFFF)
+            partial = full << (jnp.uint32(2) * (
+                jnp.uint32(16)
+                - jnp.clip(rem, 1, 16).astype(jnp.uint32)))
+            mask = jnp.where(rem >= 16, full,
+                             jnp.where(rem <= 0, jnp.uint32(0), partial))
+            ok &= (((x ^ y) & mask) == 0)
+        return ok
+
+    edge_ok = check(e_o1, e_o2, e_n) & e_valid
+    cont_ok = check(c_o1, jnp.zeros_like(c_o1), c_n) & c_valid
+    return edge_ok, cont_ok
+
+
 class DeviceCompactResult(NamedTuple):
     """Device-side compacted verified hits for one window chunk.
 
