@@ -176,31 +176,37 @@ class ShardedOverlapEngine:
         return (r2, orient, typ, edge_ok, cont_ok, overflow[None],
                 marked_union[None, :])
 
-    def make_step(self):
-        """Returns a jitted SPMD step over the mesh.
-        step(packed_all, lengths, qread, qj, qcode, marked) ->
-          (r2, orient, typ, edge_ok, cont_ok) per-query grids (Q, H),
-          overflows (n_shards,), marked unions (n_shards, N)."""
-        mesh = self.mesh
-        keys = jnp.asarray(self.keys)
-        read = jnp.asarray(self.read)
-        orient = jnp.asarray(self.orient)
-        typ = jnp.asarray(self.typ)
-        sizes = jnp.asarray(self.sizes)
-
+    def shard_fn(self):
+        """The un-jitted SPMD fn over the mesh, with the table shards as
+        explicit arguments (for multi-process drivers, which must construct
+        global arrays themselves):
+        fn(packed_all, lengths, qread, qj, qcode, marked,
+           keys, read, orient, typ, sizes)"""
         def body(packed_all, lengths, qread, qj, qcode, marked,
                  keys_s, read_s, orient_s, typ_s, size_s):
             return self._superstep(packed_all, lengths, qread, qj, qcode,
                                    marked, keys_s[0], read_s[0], orient_s[0],
                                    typ_s[0], size_s[0])
 
-        fn = jax.shard_map(
-            body, mesh=mesh,
+        return jax.shard_map(
+            body, mesh=self.mesh,
             in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                       P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
             out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                        P(AXIS), P(AXIS)),
             check_vma=False)
+
+    def make_step(self):
+        """Returns a jitted SPMD step over the mesh.
+        step(packed_all, lengths, qread, qj, qcode, marked) ->
+          (r2, orient, typ, edge_ok, cont_ok) per-query grids (Q, H),
+          overflows (n_shards,), marked unions (n_shards, N)."""
+        keys = jnp.asarray(self.keys)
+        read = jnp.asarray(self.read)
+        orient = jnp.asarray(self.orient)
+        typ = jnp.asarray(self.typ)
+        sizes = jnp.asarray(self.sizes)
+        fn = self.shard_fn()
 
         @jax.jit
         def run(packed_all, lengths, qread, qj, qcode, marked):
@@ -352,7 +358,7 @@ class DistMemOverlapEngine(ShardedOverlapEngine):
 
         # ---- payload fetch: read1 rows (forward) + candidate rows ------
         from ..overlap.device import _USE_RC
-        use_rc = _USE_RC[orient]
+        use_rc = jnp.asarray(_USE_RC)[orient]
         rows2_id = jnp.where(use_rc, r2 + n_reads, r2)
         rows2_id = jnp.where(valid, rows2_id, -1)  # invalid slot: no fetch
         all_ids = jnp.concatenate(
@@ -369,31 +375,23 @@ class DistMemOverlapEngine(ShardedOverlapEngine):
         return (r2, orient, typ, edge_ok, cont_ok, overflow[None],
                 marked_union[None, :])
 
-    def make_step(self, store: ReadStore = None, q_chunk: int = None):
-        """Returns (step, payload): `payload` = (packed_sh, packed_rc_sh)
-        host arrays laid out for sharding; step(packed_sh, packed_rc_sh,
-        lengths, qread, qj, qcode, marked) -> same outputs as the base
-        engine's step.  The payload enters shard_map with in_spec P(AXIS),
-        so each device's addressable shard is its own N/n_dev read slice."""
-        assert store is not None, "DistMemOverlapEngine.make_step needs store"
-        mesh = self.mesh
-        n_shards = mesh.devices.size
-        n_reads = store.n_reads
-        packed_sh, packed_rc_sh, block = self.shard_payload(store, n_shards)
+    def _resolve_fetch_cap(self, q_chunk: int = None) -> None:
         if self.fetch_cap <= 0:
             # expected fetch load per peer pair: ids spread ~uniformly under
             # round-robin ownership; 2x headroom, rounded up to lanes
             if q_chunk is None:
                 raise ValueError("pass q_chunk or an explicit fetch_cap")
+            n_shards = self.mesh.devices.size
             per_shard = q_chunk // n_shards
             ids = per_shard * (1 + self.hit_cap)
             self.fetch_cap = -(-(2 * ids) // (8 * n_shards)) * 8
 
-        keys = jnp.asarray(self.keys)
-        read = jnp.asarray(self.read)
-        orient = jnp.asarray(self.orient)
-        typ = jnp.asarray(self.typ)
-        sizes = jnp.asarray(self.sizes)
+    def shard_fn(self, n_reads: int, block: int):
+        """The un-jitted dist-mem SPMD fn (payload + table as explicit
+        args): fn(packed_sh, packed_rc_sh, lengths, qread, qj, qcode,
+        marked, keys, read, orient, typ, sizes).  fetch_cap must already be
+        resolved."""
+        assert self.fetch_cap > 0
 
         def body(pfwd, prc, lengths, qread, qj, qcode, marked,
                  keys_s, read_s, orient_s, typ_s, size_s):
@@ -402,13 +400,31 @@ class DistMemOverlapEngine(ShardedOverlapEngine):
                 keys_s[0], read_s[0], orient_s[0], typ_s[0], size_s[0],
                 n_reads, block)
 
-        fn = jax.shard_map(
-            body, mesh=mesh,
+        return jax.shard_map(
+            body, mesh=self.mesh,
             in_specs=(P(AXIS), P(AXIS), P(), P(AXIS), P(AXIS), P(AXIS),
                       P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
             out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                        P(AXIS), P(AXIS)),
             check_vma=False)
+
+    def make_step(self, store: ReadStore = None, q_chunk: int = None):
+        """Returns (step, payload): `payload` = (packed_sh, packed_rc_sh)
+        host arrays laid out for sharding; step(packed_sh, packed_rc_sh,
+        lengths, qread, qj, qcode, marked) -> same outputs as the base
+        engine's step.  The payload enters shard_map with in_spec P(AXIS),
+        so each device's addressable shard is its own N/n_dev read slice."""
+        assert store is not None, "DistMemOverlapEngine.make_step needs store"
+        n_shards = self.mesh.devices.size
+        packed_sh, packed_rc_sh, block = self.shard_payload(store, n_shards)
+        self._resolve_fetch_cap(q_chunk)
+
+        keys = jnp.asarray(self.keys)
+        read = jnp.asarray(self.read)
+        orient = jnp.asarray(self.orient)
+        typ = jnp.asarray(self.typ)
+        sizes = jnp.asarray(self.sizes)
+        fn = self.shard_fn(store.n_reads, block)
 
         @jax.jit
         def run(packed_sh, packed_rc_sh, lengths, qread, qj, qcode, marked):

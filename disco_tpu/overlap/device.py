@@ -29,9 +29,12 @@ from ..index.table import FingerprintTable
 from ..io.readstore import ReadStore
 from .verify import make_packed_all
 
-_EDGE_ORIENT = jnp.asarray([3, 0, 2, 1], jnp.int32)
-_IS_SUFFIX = jnp.asarray([0, 1, 0, 1], jnp.bool_)
-_USE_RC = jnp.asarray([0, 0, 1, 1], jnp.bool_)
+# numpy (not jnp) so importing this module does not initialize the XLA
+# backend — jax.distributed.initialize() must run first in multi-process
+# mode; inside jit these convert at trace time
+_EDGE_ORIENT = np.asarray([3, 0, 2, 1], np.int32)
+_IS_SUFFIX = np.asarray([0, 1, 0, 1], np.bool_)
+_USE_RC = np.asarray([0, 0, 1, 1], np.bool_)
 
 
 class DeviceOverlapResult(NamedTuple):
@@ -56,8 +59,8 @@ def candidate_checks(packed_all, lengths, qread, qj, r2, orient, valid,
     len1 = lengths[qread][:, None]
     len2 = lengths[r2]
     j = qj[:, None]
-    suffix_case = _IS_SUFFIX[orient]
-    use_rc = _USE_RC[orient]
+    suffix_case = jnp.asarray(_IS_SUFFIX)[orient]
+    use_rc = jnp.asarray(_USE_RC)[orient]
 
     e_valid = jnp.where(suffix_case, j <= len2 - k, (len1 - j) < len2)
     e_valid &= (j >= 1) & (qread[:, None] != r2) & valid
@@ -175,7 +178,7 @@ def candidate_checks_rows(rows1, rows2, lengths, qread, qj, r2, orient,
     len1 = lengths[qread][:, None]
     len2 = lengths[r2]
     j = qj[:, None]
-    suffix_case = _IS_SUFFIX[orient]
+    suffix_case = jnp.asarray(_IS_SUFFIX)[orient]
 
     e_valid = jnp.where(suffix_case, j <= len2 - k, (len1 - j) < len2)
     e_valid &= (j >= 1) & (qread[:, None] != r2) & valid
