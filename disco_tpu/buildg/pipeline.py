@@ -92,15 +92,29 @@ def run_buildg(paired_files: Sequence[str], single_files: Sequence[str],
         with open(prefix + "_CheckpointInfo.txt", "w") as f:
             f.write("CCR=Complete\n")
 
+    # incremental restart (reference: OverlapGraph.cpp:123-211): if a
+    # partial parGraph exists, reload the marked bitmap from its records,
+    # resume the BFS from the last _startRead.txt line, and APPEND new
+    # chunks; _startRead.txt is truncated and carries only this run's chunk
+    # starts (the reference opens it fresh each run, OverlapGraph.cpp:203-207)
+    par_path = prefix + "_0_parGraph.txt"
+    sr_path = prefix + "_0_startRead.txt"
+    start_read = 1
+    premarked = None
+    mode = "wb"
+    if os.path.exists(par_path) and os.path.getsize(par_path) > 0:
+        premarked = replay.load_partial_marks(par_path, store)
+        start_read = replay.read_start_read(sr_path)
+        mode = "ab"
     with clock("buildOverlapGraphFromHashTable"):
-        par_blob = replay.build_graph_replay_native(rel, store, superread,
-                                                    write_par_graph_size)
-    with open(prefix + "_0_parGraph.txt", "wb") as f:
+        par_blob, start_blob, _ = replay.build_graph_replay_native(
+            rel, store, superread, write_par_graph_size,
+            start_read=start_read, premarked=premarked)
+    with open(par_path, mode) as f:
         f.write(par_blob)
+    with open(sr_path, "wb") as f:
+        f.write(start_blob)
     # reference: main.cpp:63-70 appends GC=Complete
     with open(prefix + "_CheckpointInfo.txt", "a") as f:
         f.write("GC=Complete\n")
-    # reference writes an (empty after completion) per-thread start-read file
-    with open(prefix + "_0_startRead.txt", "w") as f:
-        pass
     return store, rel, superread

@@ -116,21 +116,70 @@ def _edge_hit_groups(rel: OverlapRelation, store: ReadStore,
     return starts, rel.j[mask], rel.r2[mask] + 1, rel.orient[mask]
 
 
+def load_partial_marks(par_path: str, store: ReadStore) -> np.ndarray:
+    """Rebuild the marked-read bitmap from an existing partial
+    _parGraph.txt: each record's trailing markFlag says which endpoints the
+    writing thread had marked (0=source, 1=dest, 2=both); file indices map
+    back to read IDs, unknown indices are skipped
+    (reference: src/BuildGraph/src/OverlapGraph.cpp:123-176)."""
+    rid_of_fidx = {int(f): i + 1 for i, f in enumerate(store.file_index)}
+    marked = np.zeros(store.n_reads + 1, np.uint8)
+    with open(par_path) as f:
+        for line in f:
+            toks = line.rstrip("\n").split("\t")
+            if len(toks) < 3:
+                continue
+            src = rid_of_fidx.get(int(toks[0]))
+            dst = rid_of_fidx.get(int(toks[1]))
+            if src is None or dst is None:
+                continue
+            flag = int(toks[2].rsplit(",", 1)[1])
+            if flag == 0:
+                marked[src] = 1
+            elif flag == 1:
+                marked[dst] = 1
+            else:
+                marked[src] = 1
+                marked[dst] = 1
+    return marked
+
+
+def read_start_read(sr_path: str) -> int:
+    """Last line of _startRead.txt = the BFS resume point
+    (reference: OverlapGraph.cpp:178-192); 1 if blank/missing."""
+    last = ""
+    try:
+        with open(sr_path) as f:
+            for line in f:
+                if line.strip():
+                    last = line.strip()
+    except OSError:
+        return 1
+    return int(last) if last else 1
+
+
 def build_graph_replay_native(rel: OverlapRelation, store: ReadStore,
                               superread: np.ndarray,
-                              write_par_graph_size: int = 1000) -> bytes:
+                              write_par_graph_size: int = 1000,
+                              start_read: int = 1,
+                              premarked: "np.ndarray | None" = None):
     """Native (C++) replay — same traversal as build_graph_replay below
-    (which remains the parity oracle); returns the parGraph file content."""
+    (which remains the parity oracle).  Returns (par_blob, start_blob,
+    chunk_ends): the parGraph content (from `start_read` on, for appending
+    on restart), the _startRead.txt content, and the valid kill offsets."""
     from .. import native
     n = store.n_reads
     contained = (superread[:n + 1] != 0).astype(np.uint8)
     starts, ej, er2, eo = native.edge_hit_groups(
         rel.r1, rel.j, rel.r2, rel.orient, rel.edge_ok, contained, n)
     all_marked = contained.copy()
+    if premarked is not None:
+        all_marked |= premarked
     all_marked[0] = 1
     return native.graph_replay(n, rel.k, write_par_graph_size, starts,
                                ej, er2, eo, store.lengths,
-                               store.file_index, all_marked)
+                               store.file_index, all_marked,
+                               start_read=start_read)
 
 
 def build_graph_replay(rel: OverlapRelation, store: ReadStore,

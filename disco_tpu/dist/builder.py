@@ -145,22 +145,48 @@ def run_buildg_sharded(paired_files: Sequence[str],
     """Distributed buildG: same outputs as buildg.pipeline.run_buildg, with
     the overlap phase executed over the mesh.  dist_mem selects the
     partitioned-payload engine (buildG-MPIRMA equivalent, CLI -rma)."""
-    from ..buildg import replay
+    import os
 
+    from ..buildg import replay
+    from ..buildg.pipeline import load_contained_reads, read_checkpoint_info
+
+    ccr_done, gc_done = read_checkpoint_info(prefix)
+    if gc_done:
+        return None, None, None
     store = ReadStore.from_files(paired_files, single_files, min_overlap,
                                  id_map_path=prefix + "_ReadIDMap.txt")
     table = FingerprintTable.build(store, min_overlap - 1)
     rel = sharded_relation(store, table, mesh, dist_mem=dist_mem)
-    superread, cont_lines = replay.containment_replay(rel, store)
-    par_blob = replay.build_graph_replay_native(rel, store, superread,
-                                                write_par_graph_size)
-    with open(prefix + "_0_containedReads.txt", "w") as f:
-        for ln in cont_lines:
-            f.write(ln + "\n")
-    with open(prefix + "_0_parGraph.txt", "wb") as f:
+
+    cont_path = prefix + "_0_containedReads.txt"
+    if ccr_done and os.path.exists(cont_path):
+        superread = load_contained_reads(cont_path, store)
+    else:
+        superread, cont_lines = replay.containment_replay(rel, store)
+        with open(cont_path, "w") as f:
+            for ln in cont_lines:
+                f.write(ln + "\n")
+        with open(prefix + "_CheckpointInfo.txt", "w") as f:
+            f.write("CCR=Complete\n")
+
+    # incremental parGraph restart — same protocol as the single-node
+    # builder (reference: OverlapGraph.cpp:123-211)
+    par_path = prefix + "_0_parGraph.txt"
+    sr_path = prefix + "_0_startRead.txt"
+    start_read = 1
+    premarked = None
+    mode = "wb"
+    if os.path.exists(par_path) and os.path.getsize(par_path) > 0:
+        premarked = replay.load_partial_marks(par_path, store)
+        start_read = replay.read_start_read(sr_path)
+        mode = "ab"
+    par_blob, start_blob, _ = replay.build_graph_replay_native(
+        rel, store, superread, write_par_graph_size,
+        start_read=start_read, premarked=premarked)
+    with open(par_path, mode) as f:
         f.write(par_blob)
-    with open(prefix + "_CheckpointInfo.txt", "w") as f:
-        f.write("CCR=Complete\nGC=Complete\n")
-    with open(prefix + "_0_startRead.txt", "w") as f:
-        pass
+    with open(sr_path, "wb") as f:
+        f.write(start_blob)
+    with open(prefix + "_CheckpointInfo.txt", "a") as f:
+        f.write("GC=Complete\n")
     return store, rel, superread

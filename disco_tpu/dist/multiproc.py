@@ -212,8 +212,8 @@ def run_buildg_multiproc(paired_files: Sequence[str],
     # the replay is deterministic and cheap relative to the overlap phase;
     # every process computes it (avoiding a broadcast), process 0 writes
     superread, cont_lines = replay.containment_replay(rel, store)
-    par_blob = replay.build_graph_replay_native(rel, store, superread,
-                                                write_par_graph_size)
+    par_blob, start_blob, _ = replay.build_graph_replay_native(
+        rel, store, superread, write_par_graph_size)
     if pid == 0:
         with open(prefix + "_0_containedReads.txt", "w") as f:
             for ln in cont_lines:
@@ -222,8 +222,8 @@ def run_buildg_multiproc(paired_files: Sequence[str],
             f.write(par_blob)
         with open(prefix + "_CheckpointInfo.txt", "w") as f:
             f.write("CCR=Complete\nGC=Complete\n")
-        with open(prefix + "_0_startRead.txt", "w") as f:
-            pass
+        with open(prefix + "_0_startRead.txt", "wb") as f:
+            f.write(start_blob)
     multihost_utils.sync_global_devices("buildg_multiproc_done")
     return store, rel, superread
 

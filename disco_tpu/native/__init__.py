@@ -92,7 +92,9 @@ def _replay_lib():
             pu8 = ctypes.POINTER(ctypes.c_uint8)
             lib.graph_replay.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, p64,
-                p32, p32, pi8, p32, p64, pu8, p64]
+                p32, p32, pi8, p32, p64, pu8, ctypes.c_int64, p64,
+                ctypes.POINTER(ctypes.c_void_p), p64,
+                ctypes.POINTER(ctypes.c_void_p), p64]
             lib.graph_replay.restype = ctypes.c_void_p
             lib.replay_free.argtypes = [ctypes.c_void_p]
             lib.replay_free.restype = None
@@ -108,9 +110,11 @@ def _replay_lib():
 
 
 def graph_replay(n: int, k: int, wpgs: int, starts, ej, er2, eo, lens, fidx,
-                 all_marked) -> bytes:
-    """Run the sequential buildG traversal replay; returns the
-    _parGraph.txt content (newline-terminated lines) as bytes."""
+                 all_marked, start_read: int = 1):
+    """Run the sequential buildG traversal replay from `start_read`.
+    Returns (par_blob, start_blob, chunk_ends): the _parGraph.txt content,
+    the _startRead.txt content (one line per chunk), and the parGraph byte
+    offset after each chunk flush (the valid kill/restart points)."""
     lib = _replay_lib()
     starts = np.ascontiguousarray(starts, np.int64)
     ej = np.ascontiguousarray(ej, np.int32)
@@ -120,6 +124,10 @@ def graph_replay(n: int, k: int, wpgs: int, starts, ej, er2, eo, lens, fidx,
     fidx = np.ascontiguousarray(fidx, np.int64)
     all_marked = np.ascontiguousarray(all_marked, np.uint8)
     size = ctypes.c_int64(0)
+    sptr = ctypes.c_void_p()
+    ssize = ctypes.c_int64(0)
+    cptr = ctypes.c_void_p()
+    nch = ctypes.c_int64(0)
     ptr = lib.graph_replay(
         n, k, wpgs, starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ej.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -128,11 +136,19 @@ def graph_replay(n: int, k: int, wpgs: int, starts, ej, er2, eo, lens, fidx,
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         fidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         all_marked.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.byref(size))
+        start_read, ctypes.byref(size), ctypes.byref(sptr),
+        ctypes.byref(ssize), ctypes.byref(cptr), ctypes.byref(nch))
     try:
-        return ctypes.string_at(ptr, size.value)
+        par = ctypes.string_at(ptr, size.value)
+        start_blob = ctypes.string_at(sptr, ssize.value)
+        chunk_ends = np.ctypeslib.as_array(
+            ctypes.cast(cptr, ctypes.POINTER(ctypes.c_int64)),
+            shape=(nch.value,)).copy()
+        return par, start_blob, chunk_ends
     finally:
         lib.replay_free(ptr)
+        lib.replay_free(sptr)
+        lib.replay_free(cptr)
 
 
 def edge_hit_groups(r1, j, r2, orient, edge_ok, contained, n: int):

@@ -68,7 +68,10 @@ struct Replayer {
   std::vector<int8_t> marked_val;         // (n+1,) 0=INPLAY 1=ELIMINATED
   std::vector<Edge> pool;
 
+  int64_t start_read = 1;      // resume point (reference: _startRead.txt)
   std::string out;
+  std::string start_lines;     // one line per chunk: its start read ID
+  std::vector<int64_t> chunk_ends;  // byte offset of `out` after each flush
 
   void ensure_adj(int64_t r) {
     if (!in_adj[r]) {
@@ -245,8 +248,13 @@ struct Replayer {
     marked_stamp.assign(n + 1, 0);
     marked_val.assign(n + 1, 0);
 
-    int64_t start = 1, prev = 1;
+    // resume from start_read (reference: OverlapGraph.cpp:178-211 loads the
+    // last _startRead.txt line; the first chunk re-explores start even if
+    // already marked — the `r1 == start` clause below)
+    int64_t start = start_read, prev = start_read;
     while (start != 0) {
+      start_lines += std::to_string(start);
+      start_lines += '\n';
       // fresh component state
       for (int64_t r : touched) {
         in_adj[r] = 0;
@@ -307,6 +315,7 @@ struct Replayer {
         }
       }
       save_par_graph();
+      chunk_ends.push_back(static_cast<int64_t>(out.size()));
       start = 0;
       for (int64_t i = prev; i <= n; ++i) {
         if (!all_marked[i]) {
@@ -325,10 +334,16 @@ extern "C" {
 
 // Returns a malloc'd buffer with the parGraph text (newline-terminated
 // lines); caller frees with replay_free. *out_size receives the byte count.
+// start_read: BFS resume point (1 = fresh run).  *start_buf receives a
+// malloc'd buffer with the _startRead.txt content (one line per chunk);
+// *chunk_offs a malloc'd int64 array of the parGraph byte offset after each
+// chunk flush (*n_chunks entries) — the exact kill points for restart tests.
 char* graph_replay(int64_t n, int64_t k, int64_t wpgs, const int64_t* starts,
                    const int32_t* ej, const int32_t* er2, const int8_t* eo,
                    const int32_t* lens, const int64_t* fidx,
-                   uint8_t* all_marked, int64_t* out_size) {
+                   uint8_t* all_marked, int64_t start_read, int64_t* out_size,
+                   char** start_buf, int64_t* start_size,
+                   int64_t** chunk_offs, int64_t* n_chunks) {
   Replayer rp;
   rp.n = n;
   rp.k = k;
@@ -340,11 +355,23 @@ char* graph_replay(int64_t n, int64_t k, int64_t wpgs, const int64_t* starts,
   rp.lens = lens;
   rp.fidx = fidx;
   rp.all_marked = all_marked;
+  rp.start_read = start_read;
   rp.run();
   char* buf = static_cast<char*>(std::malloc(rp.out.size() + 1));
   std::memcpy(buf, rp.out.data(), rp.out.size());
   buf[rp.out.size()] = '\0';
   *out_size = static_cast<int64_t>(rp.out.size());
+  char* sbuf = static_cast<char*>(std::malloc(rp.start_lines.size() + 1));
+  std::memcpy(sbuf, rp.start_lines.data(), rp.start_lines.size());
+  sbuf[rp.start_lines.size()] = '\0';
+  *start_buf = sbuf;
+  *start_size = static_cast<int64_t>(rp.start_lines.size());
+  int64_t* offs = static_cast<int64_t*>(
+      std::malloc(sizeof(int64_t) * std::max<size_t>(rp.chunk_ends.size(), 1)));
+  std::memcpy(offs, rp.chunk_ends.data(),
+              sizeof(int64_t) * rp.chunk_ends.size());
+  *chunk_offs = offs;
+  *n_chunks = static_cast<int64_t>(rp.chunk_ends.size());
   return buf;
 }
 

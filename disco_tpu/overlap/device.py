@@ -311,6 +311,33 @@ def device_overlap_compact(packed, packed_all, lengths, starts, keys, tread,
         flags=scat(flags), count=keep.sum().astype(jnp.int32), over=over)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_words", "max_len", "hit_cap", "out_cap"))
+def device_overlap_packed(packed, packed_all, lengths, starts, keys, tread,
+                          torient, ttyp, *, k, n_words, max_len, hit_cap,
+                          out_cap):
+    """`device_overlap_compact` with a transfer-friendly return layout for
+    tunneled/remote chips: ONE (4, out_cap) int32 data array (rows: window
+    index, r2, orient|typ<<8, flags) plus ONE small uint32 meta vector
+    [count, packed-overflow-bits...].  The host needs two pulls per chunk
+    (meta, then data[:, :count]) instead of seven."""
+    res = device_overlap_compact(
+        packed, packed_all, lengths, starts, keys, tread, torient, ttyp,
+        k=k, n_words=n_words, max_len=max_len, hit_cap=hit_cap,
+        out_cap=out_cap)
+    data = jnp.stack([res.wi, res.r2, res.orient | (res.typ << 8),
+                      res.flags])
+    q = res.over.shape[0]
+    pad = (-q) % 32
+    bits = jnp.pad(res.over.astype(jnp.uint32), (0, pad)).reshape(-1, 32)
+    packed_over = (bits << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+        axis=1, dtype=jnp.uint32)
+    meta = jnp.concatenate(
+        [res.count.astype(jnp.uint32)[None], packed_over])
+    return data, meta
+
+
 class DeviceOverlapEngine:
     """Host wrapper: builds device-resident table/store and exposes the
     jitted overlap step over window chunks."""
@@ -367,11 +394,20 @@ class DeviceOverlapEngine:
             max_len=self.store.max_len, hit_cap=self.hit_cap,
             out_cap=out_cap)
 
-    def run_compact_chunked(self, starts: np.ndarray, chunk: int = 1 << 19,
-                            out_cap: int = None):
-        """Yield (n_real, DeviceCompactResult) per fixed-size chunk, with a
-        1-deep dispatch pipeline (chunk i+1 launches before chunk i's
-        results are pulled) to overlap host compaction with device work."""
+    def run_packed(self, starts, out_cap: int):
+        return device_overlap_packed(
+            self.packed, self.packed_all, self.lengths,
+            jnp.asarray(starts), self.keys, self.tread, self.torient,
+            self.ttyp, k=self.k, n_words=self.store.n_words,
+            max_len=self.store.max_len, hit_cap=self.hit_cap,
+            out_cap=out_cap)
+
+    def run_packed_chunked(self, starts: np.ndarray, chunk: int = 1 << 21,
+                           out_cap: int = None):
+        """Yield (n_real, data, meta) per fixed-size chunk with a 1-deep
+        dispatch pipeline (chunk i+1 launches before chunk i's results are
+        pulled), overlapping host compaction with device work and hiding
+        one round trip of tunnel latency per chunk."""
         if out_cap is None:
             out_cap = chunk
         q = len(starts)
@@ -382,9 +418,9 @@ class DeviceOverlapEngine:
             if e - s < chunk:
                 part = np.concatenate(
                     [part, np.full(chunk - (e - s), part[-1], part.dtype)])
-            res = self.run_compact(part, out_cap)
+            res = self.run_packed(part, out_cap)
             if pending is not None:
                 yield pending
-            pending = (e - s, res)
+            pending = (e - s,) + res
         if pending is not None:
             yield pending

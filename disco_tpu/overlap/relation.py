@@ -264,19 +264,24 @@ def _sorted_relation(store: ReadStore, rows: dict, k: int) -> OverlapRelation:
 
 
 def _device_relation(store: ReadStore, table: FingerprintTable,
-                     chunk: int = 1 << 19, hit_cap: int = 16,
+                     chunk: int = None, hit_cap: int = 16,
                      ) -> OverlapRelation:
     """Production on-chip overlap phase (VERDICT r2 §next-1): the full
     window scan runs through the jit device pipeline with on-device hit
-    compaction (overlap/device.py::device_overlap_compact); windows whose
-    key bucket exceeds `hit_cap` (rare at sane k) are re-verified exactly
-    on the host via the XLA expansion path.  Output is identical to the
+    compaction (overlap/device.py::device_overlap_packed — one data + one
+    meta pull per chunk, sized for tunneled chips); windows whose key
+    bucket exceeds `hit_cap` (rare at sane k) are re-verified exactly on
+    the host via the XLA expansion path.  Output is identical to the
     native backend: same rows, same (r1, j, bucket-scan) order.
 
     Displaces the reference's hot loop
     (src/BuildGraph/src/OverlapGraph.cpp:631-674)."""
+    import os
+
     from .device import DeviceOverlapEngine
 
+    if chunk is None:
+        chunk = int(os.environ.get("DISCO_TPU_DEVICE_CHUNK", 1 << 21))
     k = table.k
     qread, qj, qcode = window_codes(store, k)
     q = len(qread)
@@ -288,31 +293,36 @@ def _device_relation(store: ReadStore, table: FingerprintTable,
                              "cont_ok", "edge_ok")}
     over_windows = []
 
-    def collect(s, n_real, res):
-        count = int(res.count)
-        over = np.asarray(res.over)[:n_real]
+    def collect(s, n_real, data, meta):
+        meta = np.asarray(meta)          # pull 1: count + overflow bits
+        count = int(meta[0])
+        bits = meta[1:]
+        wbit = np.arange(32, dtype=np.uint32)
+        over = ((bits[:, None] >> wbit) & 1).astype(bool).reshape(-1)
+        over = over[:n_real]
         if over.any():
             over_windows.append(s + np.nonzero(over)[0])
         if count > chunk:  # compaction overflow: exact re-run of the chunk
             sub = np.arange(s, s + n_real)
             over_windows.append(sub[~over])
             return
-        wi = np.asarray(res.wi)[:count]
+        rows = np.asarray(data[:, :count])  # pull 2: only occupied slots
+        wi = rows[0]
         sel = wi < n_real  # drop pad-window repeats
         gwi = s + wi[sel]
-        flags = np.asarray(res.flags)[:count][sel]
+        ot = rows[2][sel]
+        flags = rows[3][sel]
         parts["r1"].append(qread[gwi])
         parts["j"].append(qj[gwi])
-        parts["r2"].append(np.asarray(res.r2)[:count][sel])
-        parts["orient"].append(
-            np.asarray(res.orient)[:count][sel].astype(np.int8))
-        parts["typ"].append(np.asarray(res.typ)[:count][sel].astype(np.int8))
+        parts["r2"].append(rows[1][sel])
+        parts["orient"].append((ot & 0xFF).astype(np.int8))
+        parts["typ"].append((ot >> 8).astype(np.int8))
         parts["edge_ok"].append((flags & 1).astype(bool))
         parts["cont_ok"].append((flags & 2).astype(bool))
 
     s = 0
-    for n_real, res in eng.run_compact_chunked(starts, chunk=chunk):
-        collect(s, n_real, res)
+    for n_real, data, meta in eng.run_packed_chunked(starts, chunk=chunk):
+        collect(s, n_real, data, meta)
         s += n_real
 
     if over_windows:

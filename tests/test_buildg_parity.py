@@ -62,7 +62,10 @@ def test_buildg_parity(case, prefix, pe, se, wsize, tmp_path):
     out = str(tmp_path / prefix)
     run_buildg(pe, se, out, min_overlap=30, write_par_graph_size=wsize)
 
-    for suffix in ("_0_containedReads.txt", "_0_parGraph.txt"):
+    # _0_startRead.txt carries the per-chunk BFS start IDs (the reference's
+    # restart checkpoint, OverlapGraph.cpp:203-207) — compared since round 3
+    for suffix in ("_0_containedReads.txt", "_0_parGraph.txt",
+                   "_0_startRead.txt"):
         got = pathlib.Path(out + suffix).read_text()
         want = (d / (prefix + suffix)).read_text()
         assert got == want, f"{case}{suffix} differs"

@@ -45,5 +45,6 @@ def test_native_replay_matches_python(seed, wpgs):
     rel = compute_relation(store, table)
     superread, _ = replay.containment_replay(rel, store)
     lines = replay.build_graph_replay(rel, store, superread, wpgs)
-    blob = replay.build_graph_replay_native(rel, store, superread, wpgs)
+    blob, _, _ = replay.build_graph_replay_native(rel, store, superread,
+                                                 wpgs)
     assert blob.decode() == "".join(ln + "\n" for ln in lines)
