@@ -56,16 +56,26 @@ def containment_replay(rel: OverlapRelation, store: ReadStore
     order (single thread)."""
     n = store.n_reads
     superread = np.zeros(n + 1, np.int64)  # 1-based
+    lines: List[str] = []
+    mask = rel.cont_ok
+    containment_step(superread, lines, store, rel.k, rel.r1[mask],
+                     rel.j[mask], rel.r2[mask], rel.orient[mask])
+    return superread, lines
+
+
+def containment_step(superread: np.ndarray, lines: List[str],
+                     store: ReadStore, k: int, r1, j, r2, orient) -> None:
+    """Incremental containment marking over one batch of cont_ok rows (in
+    relation order), updating `superread`/`lines` in place.  Used by the
+    chunked sharded builder, which feeds marks back into later supersteps
+    for candidate pruning — the synchronous equivalent of the reference's
+    superReadID gossip (src/BuildGraphMPI/src/OverlapGraph.cpp:537-633)."""
     lens = store.lengths
     fidx = store.file_index
-    k = rel.k
-    lines: List[str] = []
-
-    mask = rel.cont_ok
-    r1s = rel.r1[mask] + 1
-    js = rel.j[mask]
-    r2s = rel.r2[mask] + 1
-    orients = rel.orient[mask]
+    r1s = np.asarray(r1) + 1
+    js = np.asarray(j)
+    r2s = np.asarray(r2) + 1
+    orients = np.asarray(orient)
 
     for i1, j, i2, ho in zip(r1s.tolist(), js.tolist(), r2s.tolist(),
                              orients.tolist()):
@@ -87,7 +97,6 @@ def containment_replay(rel: OverlapRelation, store: ReadStore
         lines.append(
             f"{fidx[i2-1]}\t{fidx[i1-1]}\t{orientation},{len2},0,0,"
             f"{len2},0,{len2},{len1},{len1-ovl},{len1-ovl+len2}")
-    return superread, lines
 
 
 # --------------------------------------------------------------------------

@@ -137,6 +137,150 @@ def sharded_relation(store: ReadStore, table: FingerprintTable, mesh: Mesh,
         typ=tf[order], cont_ok=cf[order], edge_ok=ef[order], k=table.k)
 
 
+def sharded_relation_pruned(store: ReadStore, table: FingerprintTable,
+                            mesh: Mesh,
+                            hit_cap: Optional[int] = None,
+                            route_cap: Optional[int] = None,
+                            budget: int = 1 << 25,
+                            dist_mem: bool = False,
+                            superread_init: Optional[np.ndarray] = None):
+    """Chunked sharded relation WITH in-loop containment marking: after
+    each superstep the host advances the (order-exact) containment replay
+    and feeds the updated contained-read mask into later supersteps, whose
+    all_gathered union prunes candidates touching contained reads before
+    verification (and, in dist-mem mode, before the payload fetch) — the
+    synchronous equivalent of Disco's superReadID gossip work-pruning
+    (reference: src/BuildGraphMPI/src/OverlapGraph.cpp:537-633,
+    src/BuildGraph/src/OverlapGraph.cpp:435-436).
+
+    Pruning uses marks that lag by up to two chunks (the dispatch
+    pipeline), which is always SAFE: a late mark only means less pruning;
+    pruned rows are exactly rows the downstream replays skip (containment:
+    superread[r1]!=0 or superread[r2]!=0 already; edges: endpoints must
+    both be uncontained).
+
+    Returns (relation, superread, cont_lines).  The relation omits pruned
+    rows, so it is NOT row-comparable to the unpruned one — but every
+    output file derived from it is byte-identical."""
+    from ..buildg import replay
+
+    n_dev = mesh.devices.size
+    qread, qj, qcode = window_codes(store, table.k)
+    q = len(qread)
+    if hit_cap is None:
+        _, counts = np.unique(table.keys, return_counts=True)
+        hit_cap = max(int(counts.max()) if len(counts) else 1, 1)
+    chunk = max(budget // hit_cap, n_dev)
+    chunk = min(chunk, -(-q // n_dev) * n_dev)
+    chunk = -(-chunk // n_dev) * n_dev
+    if route_cap is None:
+        route_cap = -(-(chunk // n_dev) // 8) * 8
+
+    if dist_mem:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        eng = DistMemOverlapEngine.build(store, table, mesh,
+                                         hit_cap=hit_cap,
+                                         route_cap=route_cap,
+                                         prune_marked=True)
+        step_dm, (packed_sh, packed_rc_sh) = eng.make_step(store,
+                                                           q_chunk=chunk)
+        shard = NamedSharding(mesh, P("dp"))
+        packed_sh = jax.device_put(packed_sh, shard)
+        packed_rc_sh = jax.device_put(packed_rc_sh, shard)
+
+        def step(lengths, qread_p, qj_p, qcode_p, marked):
+            return step_dm(packed_sh, packed_rc_sh, lengths, qread_p, qj_p,
+                           qcode_p, marked)
+    else:
+        eng = ShardedOverlapEngine.build(store, table, mesh,
+                                         hit_cap=hit_cap,
+                                         route_cap=route_cap,
+                                         prune_marked=True)
+        step0 = eng.make_step()
+        packed_all = make_packed_all(store.packed, store.packed_rc)
+
+        def step(lengths, qread_p, qj_p, qcode_p, marked):
+            return step0(packed_all, lengths, qread_p, qj_p, qcode_p,
+                         marked)
+
+    lengths = np.asarray(store.lengths, np.int32)
+    n = store.n_reads
+    superread = (superread_init.copy() if superread_init is not None
+                 else np.zeros(n + 1, np.int64))
+    cont_lines = []
+    pad_n = (-n) % n_dev
+
+    def marked_now():
+        return np.pad((superread[1:n + 1] != 0).astype(np.int32),
+                      (0, pad_n))
+
+    parts = {k2: [] for k2 in ("r1", "j", "r2", "orient", "typ", "edge",
+                               "cont")}
+
+    def collect(s, e, out):
+        r2, orient, typ, edge_ok, cont_ok, overflow, _unions = out
+        if int(np.asarray(overflow).sum()) != 0:
+            raise RuntimeError(
+                "sharded overlap overflow: raise hit_cap/route_cap")
+        m = e - s
+        r2 = np.asarray(r2)[:m]
+        orient = np.asarray(orient)[:m]
+        typ = np.asarray(typ)[:m]
+        edge_ok = np.asarray(edge_ok)[:m]
+        cont_ok = np.asarray(cont_ok)[:m]
+        keep = edge_ok | cont_ok
+        qi, hi = np.nonzero(keep)
+        cr1 = qread[s:e][qi].astype(np.int32)
+        cj = qj[s:e][qi]
+        cr2 = r2[qi, hi].astype(np.int32)
+        cori = orient[qi, hi].astype(np.int8)
+        cc = cont_ok[qi, hi]
+        parts["r1"].append(cr1)
+        parts["j"].append(cj)
+        parts["r2"].append(cr2)
+        parts["orient"].append(cori)
+        parts["typ"].append(typ[qi, hi].astype(np.int8))
+        parts["edge"].append(edge_ok[qi, hi])
+        parts["cont"].append(cc)
+        # advance the order-exact containment replay over this chunk's
+        # cont rows (rows arrive in relation order)
+        replay.containment_step(superread, cont_lines, store, table.k,
+                                cr1[cc], cj[cc], cr2[cc], cori[cc])
+
+    pending = None
+    for s in range(0, q, chunk):
+        e = min(s + chunk, q)
+        pad = chunk - (e - s)
+        qread_p = np.pad(qread[s:e], (0, pad))
+        qj_p = np.pad(qj[s:e], (0, pad), constant_values=-1)
+        qcode_p = np.pad(qcode[s:e], (0, pad),
+                         constant_values=np.uint64(0xFFFFFFFFFFFFFFFF))
+        out = step(lengths, qread_p, qj_p, qcode_p, marked_now())
+        if pending is not None:
+            collect(*pending)
+        pending = (s, e, out)
+    if pending is not None:
+        collect(*pending)
+
+    def cat(name, dtype):
+        if not parts[name]:
+            return np.zeros(0, dtype)
+        return np.concatenate(parts[name]).astype(dtype, copy=False)
+
+    r1f = cat("r1", np.int32)
+    r2f = cat("r2", np.int32)
+    jf = cat("j", np.int32)
+    tf = cat("typ", np.int8)
+    fidx2 = store.file_index[r2f]
+    order = np.lexsort((tf, fidx2, jf, r1f))
+    rel = OverlapRelation(
+        r1=r1f[order], j=jf[order], r2=r2f[order],
+        orient=cat("orient", np.int8)[order], typ=tf[order],
+        cont_ok=cat("cont", np.bool_)[order],
+        edge_ok=cat("edge", np.bool_)[order], k=table.k)
+    return rel, superread, cont_lines
+
+
 def run_buildg_sharded(paired_files: Sequence[str],
                        single_files: Sequence[str], prefix: str,
                        mesh: Mesh, min_overlap: int = 30,
@@ -156,13 +300,18 @@ def run_buildg_sharded(paired_files: Sequence[str],
     store = ReadStore.from_files(paired_files, single_files, min_overlap,
                                  id_map_path=prefix + "_ReadIDMap.txt")
     table = FingerprintTable.build(store, min_overlap - 1)
-    rel = sharded_relation(store, table, mesh, dist_mem=dist_mem)
 
     cont_path = prefix + "_0_containedReads.txt"
+    superread_init = None
     if ccr_done and os.path.exists(cont_path):
-        superread = load_contained_reads(cont_path, store)
-    else:
-        superread, cont_lines = replay.containment_replay(rel, store)
+        # resume: seed the in-loop pruning mask with the completed
+        # contained-read phase (reference rebroadcasts the bitmap on
+        # restart, src/BuildGraphMPI/src/OverlapGraph.cpp:448-509)
+        superread_init = load_contained_reads(cont_path, store)
+    rel, superread, cont_lines = sharded_relation_pruned(
+        store, table, mesh, dist_mem=dist_mem,
+        superread_init=superread_init)
+    if superread_init is None:
         with open(cont_path, "w") as f:
             for ln in cont_lines:
                 f.write(ln + "\n")

@@ -77,10 +77,16 @@ class ShardedOverlapEngine:
     orient: np.ndarray  # (n_shards, M_pad) int32
     typ: np.ndarray     # (n_shards, M_pad) int32
     sizes: np.ndarray   # (n_shards,) int32 — real (unpadded) entry counts
+    # prune candidates touching marked (contained) reads using the
+    # all_gathered mask union — Disco's superReadID==0 work pruning
+    # (reference: src/BuildGraph/src/OverlapGraph.cpp:435-436); safe with
+    # stale marks (pruning lags, never wrong), see dist.builder
+    prune_marked: bool = False
 
     @classmethod
     def build(cls, store: ReadStore, table: FingerprintTable, mesh: Mesh,
-              hit_cap: int = 8, route_cap: int = 4096) -> "ShardedOverlapEngine":
+              hit_cap: int = 8, route_cap: int = 4096,
+              prune_marked: bool = False) -> "ShardedOverlapEngine":
         n_shards = mesh.devices.size
         owner = (table.keys % np.uint64(n_shards)).astype(np.int64)
         m_pad = max(int(np.bincount(owner, minlength=n_shards).max()), 1)
@@ -99,7 +105,8 @@ class ShardedOverlapEngine:
             sizes[s] = m
         return cls(mesh=mesh, n_words=store.n_words, k=table.k,
                    hit_cap=hit_cap, route_cap=route_cap,
-                   keys=keys, read=read, orient=orient, typ=typ, sizes=sizes)
+                   keys=keys, read=read, orient=orient, typ=typ,
+                   sizes=sizes, prune_marked=prune_marked)
 
     # ------------------------------------------------------------------
     def _superstep(self, packed_all, lengths, qread, qj, qcode, marked,
@@ -167,6 +174,10 @@ class ShardedOverlapEngine:
         orient = orient.at[src].set(hit_orient, mode="drop")
         typ = typ.at[src].set(hit_typ, mode="drop")
         valid = valid.at[src].set(pair_valid, mode="drop")
+
+        if self.prune_marked:
+            valid &= (marked_union[qread] == 0)[:, None]
+            valid &= marked_union[r2] == 0
 
         # 6. verify locally (shared geometry, reference:
         #    src/BuildGraph/src/OverlapGraph.cpp:517-595)
@@ -248,14 +259,16 @@ class DistMemOverlapEngine(ShardedOverlapEngine):
     @classmethod
     def build(cls, store: ReadStore, table: FingerprintTable, mesh: Mesh,
               hit_cap: int = 8, route_cap: int = 4096,
-              fetch_cap: int = 0) -> "DistMemOverlapEngine":
+              fetch_cap: int = 0,
+              prune_marked: bool = False) -> "DistMemOverlapEngine":
         base = ShardedOverlapEngine.build(store, table, mesh,
                                           hit_cap=hit_cap,
                                           route_cap=route_cap)
         return cls(mesh=base.mesh, n_words=base.n_words, k=base.k,
                    hit_cap=base.hit_cap, route_cap=base.route_cap,
                    keys=base.keys, read=base.read, orient=base.orient,
-                   typ=base.typ, sizes=base.sizes, fetch_cap=fetch_cap)
+                   typ=base.typ, sizes=base.sizes, fetch_cap=fetch_cap,
+                   prune_marked=prune_marked)
 
     @staticmethod
     def shard_payload(store: ReadStore, n_shards: int):
@@ -356,13 +369,21 @@ class DistMemOverlapEngine(ShardedOverlapEngine):
         typ = typ.at[src].set(hit_typ, mode="drop")
         valid = valid.at[src].set(pair_valid, mode="drop")
 
+        if self.prune_marked:
+            # prune BEFORE the payload fetch: candidates touching marked
+            # (contained) reads cost no exchange bandwidth either
+            valid &= (marked_union[qread] == 0)[:, None]
+            valid &= marked_union[r2] == 0
+
         # ---- payload fetch: read1 rows (forward) + candidate rows ------
         from ..overlap.device import _USE_RC
         use_rc = jnp.asarray(_USE_RC)[orient]
         rows2_id = jnp.where(use_rc, r2 + n_reads, r2)
         rows2_id = jnp.where(valid, rows2_id, -1)  # invalid slot: no fetch
-        all_ids = jnp.concatenate(
-            [qread.astype(jnp.int32), rows2_id.reshape(-1)])
+        q_ids = qread.astype(jnp.int32)
+        if self.prune_marked:
+            q_ids = jnp.where(marked_union[qread] == 0, q_ids, -1)
+        all_ids = jnp.concatenate([q_ids, rows2_id.reshape(-1)])
         cap = self.fetch_cap
         fetched, f_overflow = self._fetch_rows(all_ids, pfwd, prc, n_reads,
                                                block, cap)
