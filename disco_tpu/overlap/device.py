@@ -53,30 +53,40 @@ def candidate_checks(packed_all, lengths, qread, qj, r2, orient, valid,
     """Shared geometry + verification for a (Q, H) candidate grid
     (reference: OverlapGraph.cpp:517-595).  Returns (edge_ok, cont_ok).
     Used by the single-chip pipeline below and the sharded superstep
-    (disco_tpu.dist.overlap_shard)."""
+    (disco_tpu.dist.overlap_shard).
+
+    Internally everything runs over FLAT (Q*H,) vectors: a (Q, 16) u32
+    array tiles as T(8, 128) on TPU — 8x pad expansion on the 16-wide
+    minor dim — and the n_words-loop temporaries at 1M-window chunks then
+    OOM a 16 GB chip.  Flat vectors tile cleanly."""
     n_reads = lengths.shape[0]
     wlim = packed_all.shape[1] - 1
-    len1 = lengths[qread][:, None]
-    len2 = lengths[r2]
-    j = qj[:, None]
-    suffix_case = jnp.asarray(_IS_SUFFIX)[orient]
-    use_rc = jnp.asarray(_USE_RC)[orient]
+    q, h = r2.shape
+    qread_f = jnp.repeat(qread.astype(jnp.int32), h)
+    j = jnp.repeat(qj.astype(jnp.int32), h)
+    r2f = r2.reshape(-1)
+    orient_f = orient.reshape(-1)
+    valid_f = valid.reshape(-1)
+    len1 = lengths[qread_f]
+    len2 = lengths[r2f]
+    suffix_case = jnp.asarray(_IS_SUFFIX)[orient_f]
+    use_rc = jnp.asarray(_USE_RC)[orient_f]
 
     e_valid = jnp.where(suffix_case, j <= len2 - k, (len1 - j) < len2)
-    e_valid &= (j >= 1) & (qread[:, None] != r2) & valid
+    e_valid &= (j >= 1) & (qread_f != r2f) & valid_f
     e_n = jnp.where(suffix_case, j + k, len1 - j).astype(jnp.int32)
     e_n = jnp.where(e_valid, e_n, 0)
     e_o1 = jnp.where(suffix_case, 0, j).astype(jnp.int32)
     e_o2 = jnp.maximum(jnp.where(suffix_case, len2 - e_n, 0), 0)
 
     c_valid = jnp.where(suffix_case, j >= len2 - k, j + len2 <= len1)
-    c_valid &= (qread[:, None] != r2) & valid
+    c_valid &= (qread_f != r2f) & valid_f
     c_n = jnp.where(c_valid, len2, 0).astype(jnp.int32)
     c_o1 = jnp.where(suffix_case, j + k - len2, j).astype(jnp.int32)
     c_o1 = jnp.maximum(c_o1, 0)
 
-    rows1 = jnp.broadcast_to(qread[:, None], r2.shape)
-    rows2 = (r2 + jnp.where(use_rc, n_reads, 0)).astype(jnp.int32)
+    rows1 = qread_f
+    rows2 = (r2f + jnp.where(use_rc, n_reads, 0)).astype(jnp.int32)
 
     def check(o1, o2, nl):
         bit1 = (2 * (o1 % 16)).astype(jnp.uint32)
@@ -104,14 +114,14 @@ def candidate_checks(packed_all, lengths, qread, qj, r2, orient, valid,
                              jnp.where(rem <= 0, jnp.uint32(0), partial))
             return ok & (((x ^ y) & mask) == 0)
 
-        ok = jnp.ones(r2.shape, jnp.bool_)
+        ok = jnp.ones(r2f.shape, jnp.bool_)
         for wi in range(n_words):
             ok = body(wi, ok)
         return ok
 
     edge_ok = check(e_o1, e_o2, e_n) & e_valid
     cont_ok = check(c_o1, jnp.zeros_like(c_o1), c_n) & c_valid
-    return edge_ok, cont_ok
+    return edge_ok.reshape(q, h), cont_ok.reshape(q, h)
 
 
 @functools.partial(jax.jit,
@@ -278,10 +288,13 @@ def device_overlap_compact(packed, packed_all, lengths, starts, keys, tread,
     kk = min(k, 32)
     qcode = win >> jnp.uint64(64 - 2 * kk)
 
-    lo = jnp.searchsorted(keys, qcode, side="left")
-    hi_i = jnp.searchsorted(keys, qcode, side="right")
+    # int32 table positions: halves the (Q, H) index temporaries under
+    # jax_enable_x64 (the 16G chip OOM'd on int64 grids at 2M-window
+    # chunks); fingerprint tables are < 2^31 entries (4 per read)
+    lo = jnp.searchsorted(keys, qcode, side="left").astype(jnp.int32)
+    hi_i = jnp.searchsorted(keys, qcode, side="right").astype(jnp.int32)
     over = (hi_i - lo) > hit_cap
-    tpos = lo[:, None] + jnp.arange(hit_cap, dtype=lo.dtype)[None, :]
+    tpos = lo[:, None] + jnp.arange(hit_cap, dtype=jnp.int32)[None, :]
     valid = (tpos < hi_i[:, None]) & ~over[:, None]
     tpos = jnp.clip(tpos, 0, keys.shape[0] - 1)
     r2 = jnp.where(valid, tread[tpos], 0).astype(jnp.int32)

@@ -281,7 +281,7 @@ def _device_relation(store: ReadStore, table: FingerprintTable,
     from .device import DeviceOverlapEngine
 
     if chunk is None:
-        chunk = int(os.environ.get("DISCO_TPU_DEVICE_CHUNK", 1 << 21))
+        chunk = int(os.environ.get("DISCO_TPU_DEVICE_CHUNK", 1 << 20))
     k = table.k
     qread, qj, qcode = window_codes(store, k)
     q = len(qread)
