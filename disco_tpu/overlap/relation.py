@@ -125,6 +125,12 @@ def compute_relation(store: ReadStore, table: FingerprintTable,
     candidates so the host never materialises the full candidate list."""
     if backend is None:
         backend = default_backend()
+        if backend == "device":
+            # tiny inputs lose to jit-compile + transfer latency (worst on
+            # a tunneled chip); the host kernel wins below ~1M windows
+            n_win = int(store.lengths.sum()) - store.n_reads * table.k
+            if n_win < (1 << 20):
+                backend = "native"
     if backend == "native":
         from .. import native
         out = native.overlap_relation(
