@@ -75,15 +75,43 @@ def run_buildg(paired_files: Sequence[str], single_files: Sequence[str],
                                          id_map_path=prefix + "_ReadIDMap.txt")
     with clock("insertDataset"):
         table = FingerprintTable.build(store, min_overlap - 1)
-    with clock("overlapRelation"):
-        rel = compute_relation(store, table)
+
+    # The native host backend runs the bounded-memory TWO-PASS protocol
+    # (the reference's own structure: markContainedReads first, then edge
+    # generation skipping contained reads, OverlapGraph.cpp:333,435-436):
+    # pass A emits only containment rows, pass B only edge rows between
+    # uncontained reads — the full relation is never materialized, peak
+    # host memory is O(cont rows + kept edge rows) instead of O(all rows),
+    # and pass B skips contained reads' windows entirely.
+    from ..overlap.relation import default_backend
+    backend = default_backend()
+    n_win = int(store.lengths.sum()) - store.n_reads * (min_overlap - 1)
+    two_pass = backend == "native" or n_win < (1 << 20)
+
+    rel = None
+    if not two_pass:
+        with clock("overlapRelation"):
+            rel = compute_relation(store, table)
 
     cont_path = prefix + "_0_containedReads.txt"
     if ccr_done and os.path.exists(cont_path):
         superread = load_contained_reads(cont_path, store)
     else:
         with clock("markContainedReads"):
-            superread, cont_lines = replay.containment_replay(rel, store)
+            if two_pass:
+                from .. import native
+                cont = native.overlap_relation_mode(
+                    store.packed, store.packed_rc, store.lengths,
+                    table.keys, table.read, table.orient, table.typ,
+                    table.k, mode=1)
+                superread = np.zeros(store.n_reads + 1, np.int64)
+                cont_lines = []
+                replay.containment_step(superread, cont_lines, store,
+                                        table.k, cont["r1"], cont["j"],
+                                        cont["r2"], cont["orient"])
+                del cont
+            else:
+                superread, cont_lines = replay.containment_replay(rel, store)
         with open(cont_path, "w") as f:
             for ln in cont_lines:
                 f.write(ln + "\n")
@@ -107,9 +135,25 @@ def run_buildg(paired_files: Sequence[str], single_files: Sequence[str],
         start_read = replay.read_start_read(sr_path)
         mode = "ab"
     with clock("buildOverlapGraphFromHashTable"):
-        par_blob, start_blob, _ = replay.build_graph_replay_native(
-            rel, store, superread, write_par_graph_size,
-            start_read=start_read, premarked=premarked)
+        if two_pass:
+            from .. import native
+            n = store.n_reads
+            contained = (superread[1:n + 1] != 0).astype(np.uint8)
+            edge = native.overlap_relation_mode(
+                store.packed, store.packed_rc, store.lengths, table.keys,
+                table.read, table.orient, table.typ, table.k, mode=2,
+                contained=contained)
+            starts = np.searchsorted(
+                edge["r1"], np.arange(0, n + 1)).astype(np.int64)
+            par_blob, start_blob, _ = replay.graph_replay_from_groups(
+                store, table.k, starts, edge["j"],
+                (edge["r2"] + 1).astype(np.int32), edge["orient"],
+                superread, write_par_graph_size,
+                start_read=start_read, premarked=premarked)
+        else:
+            par_blob, start_blob, _ = replay.build_graph_replay_native(
+                rel, store, superread, write_par_graph_size,
+                start_read=start_read, premarked=premarked)
     with open(par_path, mode) as f:
         f.write(par_blob)
     with open(sr_path, "wb") as f:

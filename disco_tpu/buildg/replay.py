@@ -167,6 +167,26 @@ def read_start_read(sr_path: str) -> int:
     return int(last) if last else 1
 
 
+def graph_replay_from_groups(store: ReadStore, k: int, starts, ej, er2, eo,
+                             superread: np.ndarray,
+                             write_par_graph_size: int = 1000,
+                             start_read: int = 1,
+                             premarked: "np.ndarray | None" = None):
+    """Run the native traversal replay over pre-grouped edge-eligible hits
+    (group of 1-based read r = [starts[r-1], starts[r]); er2 1-based).
+    Returns (par_blob, start_blob, chunk_ends)."""
+    from .. import native
+    n = store.n_reads
+    all_marked = (superread[:n + 1] != 0).astype(np.uint8)
+    if premarked is not None:
+        all_marked |= premarked
+    all_marked[0] = 1
+    return native.graph_replay(n, k, write_par_graph_size, starts,
+                               ej, er2, eo, store.lengths,
+                               store.file_index, all_marked,
+                               start_read=start_read)
+
+
 def build_graph_replay_native(rel: OverlapRelation, store: ReadStore,
                               superread: np.ndarray,
                               write_par_graph_size: int = 1000,
@@ -181,14 +201,10 @@ def build_graph_replay_native(rel: OverlapRelation, store: ReadStore,
     contained = (superread[:n + 1] != 0).astype(np.uint8)
     starts, ej, er2, eo = native.edge_hit_groups(
         rel.r1, rel.j, rel.r2, rel.orient, rel.edge_ok, contained, n)
-    all_marked = contained.copy()
-    if premarked is not None:
-        all_marked |= premarked
-    all_marked[0] = 1
-    return native.graph_replay(n, rel.k, write_par_graph_size, starts,
-                               ej, er2, eo, store.lengths,
-                               store.file_index, all_marked,
-                               start_read=start_read)
+    return graph_replay_from_groups(store, rel.k, starts, ej, er2, eo,
+                                    superread, write_par_graph_size,
+                                    start_read=start_read,
+                                    premarked=premarked)
 
 
 def build_graph_replay(rel: OverlapRelation, store: ReadStore,

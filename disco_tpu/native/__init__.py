@@ -349,6 +349,11 @@ def _overlap_lib():
                 pu32, pu32, p32, ctypes.c_int64, ctypes.c_int64,
                 pu64, p32, pi8, pi8, ctypes.c_int64, ctypes.c_int64, p64]
             lib.overlap_relation_collect.restype = ctypes.c_void_p
+            lib.overlap_relation_collect_mode.argtypes = [
+                pu32, pu32, p32, ctypes.c_int64, ctypes.c_int64,
+                pu64, p32, pi8, pi8, ctypes.c_int64, ctypes.c_int64, p64,
+                ctypes.c_int64, pu8]
+            lib.overlap_relation_collect_mode.restype = ctypes.c_void_p
             lib.overlap_relation_export.argtypes = [
                 ctypes.c_void_p, p32, p32, p32, pi8, pi8, pu8, pu8]
             lib.overlap_relation_export.restype = None
@@ -387,6 +392,62 @@ def overlap_relation(packed: np.ndarray, packed_rc: np.ndarray,
         keys.ctypes.data_as(pu64), tread.ctypes.data_as(p32),
         torient.ctypes.data_as(pi8), ttyp.ctypes.data_as(pi8), m, k,
         ctypes.byref(total_c))
+    total = total_c.value
+    out = {
+        "r1": np.empty(total, np.int32), "j": np.empty(total, np.int32),
+        "r2": np.empty(total, np.int32), "orient": np.empty(total, np.int8),
+        "typ": np.empty(total, np.int8), "cont_ok": np.empty(total, np.uint8),
+        "edge_ok": np.empty(total, np.uint8)}
+    lib.overlap_relation_export(handle,
+                                out["r1"].ctypes.data_as(p32),
+                                out["j"].ctypes.data_as(p32),
+                                out["r2"].ctypes.data_as(p32),
+                                out["orient"].ctypes.data_as(pi8),
+                                out["typ"].ctypes.data_as(pi8),
+                                out["cont_ok"].ctypes.data_as(pu8),
+                                out["edge_ok"].ctypes.data_as(pu8))
+    out["cont_ok"] = out["cont_ok"].astype(bool)
+    out["edge_ok"] = out["edge_ok"].astype(bool)
+    return out
+
+
+def overlap_relation_mode(packed: np.ndarray, packed_rc: np.ndarray,
+                          lengths: np.ndarray, keys: np.ndarray,
+                          tread: np.ndarray, torient: np.ndarray,
+                          ttyp: np.ndarray, k: int, mode: int,
+                          contained: "np.ndarray | None" = None):
+    """Streaming-mode relation passes (see overlap.cpp::collect_impl):
+    mode=1 containment-only; mode=2 edge-only over uncontained reads
+    (`contained` = (n,) 0-based byte mask).  Returns the same column dict
+    as overlap_relation (cont_ok/edge_ok reflect the mode)."""
+    lib = _overlap_lib()
+    n, row_words = packed.shape
+    m = len(keys)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    pu32 = ctypes.POINTER(ctypes.c_uint32)
+    pu64 = ctypes.POINTER(ctypes.c_uint64)
+    pi8 = ctypes.POINTER(ctypes.c_int8)
+    pu8 = ctypes.POINTER(ctypes.c_uint8)
+    packed = np.ascontiguousarray(packed, np.uint32)
+    packed_rc = np.ascontiguousarray(packed_rc, np.uint32)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    keys = np.ascontiguousarray(keys, np.uint64)
+    tread = np.ascontiguousarray(tread, np.int32)
+    torient = np.ascontiguousarray(torient, np.int8)
+    ttyp = np.ascontiguousarray(ttyp, np.int8)
+    if mode == 2:
+        contained = np.ascontiguousarray(contained, np.uint8)
+        cptr = contained.ctypes.data_as(pu8)
+    else:
+        cptr = ctypes.cast(None, pu8)
+    total_c = ctypes.c_int64(0)
+    handle = lib.overlap_relation_collect_mode(
+        packed.ctypes.data_as(pu32), packed_rc.ctypes.data_as(pu32),
+        lengths.ctypes.data_as(p32), n, row_words,
+        keys.ctypes.data_as(pu64), tread.ctypes.data_as(p32),
+        torient.ctypes.data_as(pi8), ttyp.ctypes.data_as(pi8), m, k,
+        ctypes.byref(total_c), mode, cptr)
     total = total_c.value
     out = {
         "r1": np.empty(total, np.int32), "j": np.empty(total, np.int32),

@@ -116,17 +116,21 @@ constexpr int64_t kBlockReads = 2048;
 
 }  // namespace
 
-extern "C" {
-
-// Scans all (read, window) queries, verifies candidates, and stores hits
-// grouped by contiguous read blocks.  Returns an opaque handle; *total_out
-// is the hit count.  Call overlap_relation_export exactly once to copy the
-// columns out and free the handle.
-void* overlap_relation_collect(
+// mode: 0 = full relation (containment + edge checks, all reads);
+//       1 = containment-only pass (edge check skipped);
+//       2 = edge-only pass over UNCONTAINED reads: queries of contained
+//           reads and candidates that are contained are skipped before
+//           verification (the reference's superReadID==0 pruning,
+//           src/BuildGraph/src/OverlapGraph.cpp:435-436,645) — `contained`
+//           is a (n,) 0-based byte mask, required iff mode==2.
+// Modes 1+2 together form the bounded-memory streaming path: the full
+// relation is never materialized (pass 1 yields only cont rows; pass 2
+// yields exactly the edge-eligible rows the traversal replay consumes).
+static void* collect_impl(
     const uint32_t* packed, const uint32_t* packed_rc, const int32_t* lengths,
     int64_t n, int64_t row_words, const uint64_t* keys, const int32_t* tread,
     const int8_t* torient, const int8_t* ttyp, int64_t m, int64_t k,
-    int64_t* total_out) {
+    int64_t* total_out, int mode, const uint8_t* contained) {
   Table t;
   t.keys = keys;
   t.read = tread;
@@ -158,6 +162,7 @@ void* overlap_relation_collect(
     std::vector<Cand> cand;
     cand.reserve(4 * kWinChunk);
     for (int64_t r1 = bi * kBlockReads; r1 < r_end; ++r1) {
+      if (mode == 2 && contained[r1]) continue;
       const uint32_t* row1 = packed + r1 * row_words;
       const int64_t len1 = lengths[r1];
       const int64_t n_win = len1 - k;
@@ -273,6 +278,7 @@ void* overlap_relation_collect(
           const int64_t p = cand[ci].p;
           const int64_t r2 = t.read[p];
           if (r2 == r1) continue;
+          if (mode == 2 && contained[r2]) continue;
           const int32_t ho = t.orient[p];
           const int64_t len2 = lengths[r2];
           const bool suffix_case = (ho == 1) || (ho == 3);
@@ -282,7 +288,7 @@ void* overlap_relation_collect(
           // edge: proper suffix-prefix overlap extending to both ends
           // (reference: OverlapGraph.cpp:567-595)
           bool edge_ok = false;
-          if (j >= 1 &&
+          if (mode != 1 && j >= 1 &&
               (suffix_case ? (j <= len2 - k) : (len1 - j < len2))) {
             const int64_t en = suffix_case ? j + k : len1 - j;
             const int64_t eo1 = suffix_case ? 0 : j;
@@ -292,7 +298,8 @@ void* overlap_relation_collect(
           // containment: read2 entirely inside read1
           // (reference: OverlapGraph.cpp:517-554)
           bool cont_ok = false;
-          if (suffix_case ? (j >= len2 - k) : (j + len2 <= len1)) {
+          if (mode != 2 &&
+              (suffix_case ? (j >= len2 - k) : (j + len2 <= len1))) {
             const int64_t co1 = suffix_case ? j + k - len2 : j;
             cont_ok = windows_equal(row1, co1, row2, 0, len2, row_words);
           }
@@ -318,6 +325,32 @@ void* overlap_relation_collect(
   *total_out = total;
 #endif
   return col;
+}
+
+extern "C" {
+
+// Scans all (read, window) queries, verifies candidates, and stores hits
+// grouped by contiguous read blocks.  Returns an opaque handle; *total_out
+// is the hit count.  Call overlap_relation_export exactly once to copy the
+// columns out and free the handle.
+void* overlap_relation_collect(
+    const uint32_t* packed, const uint32_t* packed_rc, const int32_t* lengths,
+    int64_t n, int64_t row_words, const uint64_t* keys, const int32_t* tread,
+    const int8_t* torient, const int8_t* ttyp, int64_t m, int64_t k,
+    int64_t* total_out) {
+  return collect_impl(packed, packed_rc, lengths, n, row_words, keys, tread,
+                      torient, ttyp, m, k, total_out, 0, nullptr);
+}
+
+// Streaming-mode entry: see collect_impl's mode docs.
+void* overlap_relation_collect_mode(
+    const uint32_t* packed, const uint32_t* packed_rc, const int32_t* lengths,
+    int64_t n, int64_t row_words, const uint64_t* keys, const int32_t* tread,
+    const int8_t* torient, const int8_t* ttyp, int64_t m, int64_t k,
+    int64_t* total_out, int64_t mode, const uint8_t* contained) {
+  return collect_impl(packed, packed_rc, lengths, n, row_words, keys, tread,
+                      torient, ttyp, m, k, total_out,
+                      static_cast<int>(mode), contained);
 }
 
 // Copies the collected hits into column arrays (block order = read order)
