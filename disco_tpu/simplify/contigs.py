@@ -80,20 +80,76 @@ def load_sequences(graph: FullGraph, single_files: List[str],
                    pair_files: List[str],
                    inter_pair_files: List[str]) -> None:
     """Stream all read files in the reference's order: separated pairs,
-    interleaved pairs, singles (streamContigs :2300-2310)."""
+    interleaved pairs, singles (streamContigs :2300-2310).
+
+    Unlike the reference's read-major walk (populate_read per read with
+    edge-location lookups and per-placement offset prefix sums,
+    OverlapGraph.cpp:2252-2287), the fill is planned EDGE-major first —
+    one pass over the edges' inner lists yields every (read, region)
+    placement with an O(1) running prefix — and the single read-file
+    stream then applies the plan.  Placement regions within an edge
+    string are disjoint (each spans exactly the gap to the next link, and
+    scaffold gaps stay 'N'), so fill order cannot matter and the result
+    is byte-identical to the read-major walk; `_populate_read` above is
+    kept as the direct transcription for reference."""
+    min_len = graph.p.min_contig_length
+    plan = {}
+
+    def add(rid, e, rc, mode, start, cap):
+        lst = plan.get(rid)
+        if lst is None:
+            plan[rid] = lst = []
+        lst.append((e, rc, mode, start, cap))
+
+    for node_lst in graph.g.d.values():
+        for e in node_lst:
+            if not e.is_smaller() or e.edge_length() < min_len:
+                continue
+            # mode 0: source-read prefix (index -1); mode 1: dest read at
+            # e.offset (index -2); mode 2: inner read at its link offset
+            add(e.src, e, not ((e.orient >> 1) & 1), 0, 0, e.first_offset())
+            add(e.dst, e, not (e.orient & 1), 1, e.offset, 0)
+            n = e.inner.n
+            if n:
+                inner = list(e.inner)
+                last_cap = e.offset - e.inner_sum
+                pref = 0
+                for idx, (rid, ori, off) in enumerate(inner):
+                    pref += off
+                    cap = inner[idx + 1][2] if idx < n - 1 else last_cap
+                    add(rid, e, (ori & 1) != 1, 2, pref, cap)
+
+    def feed(rid, s):
+        rows = plan.get(rid)
+        if not rows:
+            return
+        b = brc = None
+        for (e, rc, mode, start, cap) in rows:
+            if e.string is None:
+                e.string = bytearray(b"N" * e.edge_length())
+            if rc:
+                if brc is None:
+                    brc = _rc(s).encode()
+                src = brc
+            else:
+                if b is None:
+                    b = s.encode()
+                src = b
+            if mode == 0:
+                e.string[0:cap] = src[0:cap]
+            elif mode == 1:
+                e.string[start:start + len(src)] = src
+            elif cap < len(src):
+                e.string[start:start + cap] = src[:cap]
+            else:
+                e.string[start:start + len(src)] = src
+
     rid = 1
-    for path in pair_files:
-        for s in iter_fasta_seqs(path):
-            _populate_read(graph, rid, s)
-            rid += 1
-    for path in inter_pair_files:
-        for s in iter_fasta_seqs(path):
-            _populate_read(graph, rid, s)
-            rid += 1
-    for path in single_files:
-        for s in iter_fasta_seqs(path):
-            _populate_read(graph, rid, s)
-            rid += 1
+    for group in (pair_files, inter_pair_files, single_files):
+        for path in group:
+            for s in iter_fasta_seqs(path):
+                feed(rid, s)
+                rid += 1
 
 
 def _fmt_float(v: float) -> str:

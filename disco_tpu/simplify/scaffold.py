@@ -41,6 +41,23 @@ def _edge_read_offset(e: Edge, idx: int) -> int:
 def calculate_mean_sd_inner_distance(graph: FullGraph) -> None:
     d = graph.d
     longest = 0
+    # per-edge cumulative link offsets: _edge_read_offset(e, idx) ==
+    # cumsum(inner offsets)[idx] for every idx (the reference's "little
+    # dance" last-index special case sums to the same value), so one
+    # cached prefix scan replaces a rope walk per (pair, location)
+    offs_cache: dict = {}
+
+    def edge_offsets(e):
+        a = offs_cache.get(id(e))
+        if a is None:
+            a = []
+            t = 0
+            for (_r, _o, off) in e.inner:
+                t += off
+                a.append(t)
+            offs_cache[id(e)] = a
+        return a
+
     for ds in d.datasets:
         if ds.is_paired:
             dists: List[int] = []
@@ -49,20 +66,25 @@ def calculate_mean_sd_inner_distance(graph: FullGraph) -> None:
                 if not locs[i]:
                     continue  # fwd_edges(i) would be empty for every mate
                 mp = d.mate_pair_list(i)
+                l1 = None  # computed lazily, invariant over the mate loop
                 for r2 in mp:
                     if not locs[r2]:
                         continue  # bwd_edges(r2) empty -> no pairs
                     if d.dataset_number(r2) != ds.number:
                         continue
-                    l1 = d.fwd_edges(i)
+                    if l1 is None:
+                        l1 = d.fwd_edges(i)
+                        rl1 = d.read_len(i)
+                    if not l1:
+                        break
                     l2 = d.bwd_edges(r2)
                     for (e1, i1) in l1:
+                        o1 = edge_offsets(e1)
                         for (e2, i2) in l2:
-                            r1_off = _edge_read_offset(e1, i1)
-                            r2_off = _edge_read_offset(e2, i2)
-                            mp_dist = r2_off - (r1_off + d.read_len(i))
-                            if (e1 is e2 and mp_dist > 0
-                                    and mp_dist < MAX_INNER_DIST_TRESH):
+                            if e1 is not e2:
+                                continue
+                            mp_dist = o1[i2] - (o1[i1] + rl1)
+                            if 0 < mp_dist < MAX_INNER_DIST_TRESH:
                                 dists.append(mp_dist)
         else:
             dists = []
