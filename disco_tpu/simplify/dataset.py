@@ -17,6 +17,8 @@ Replicated quirks (load-bearing for parity):
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
+import numpy as np
+
 from .core import Edge
 
 
@@ -284,6 +286,34 @@ class SimplifyDataset:
                     return r2_out
                 break  # contained mate still returned below
         return r2_out
+
+    def mate_array(self) -> "np.ndarray":
+        """Vectorized `mate_pair` over all read IDs (cached; valid because
+        contained_flag is static after load).  Branch semantics match
+        mate_pair exactly: interleaved and r2-side mates are returned even
+        when contained (the reference's shadowed-local quirk), the
+        separated r1-side yields 0 for a contained mate."""
+        if getattr(self, "_mate_array", None) is not None:
+            return self._mate_array
+        n = self.size()
+        mate = np.zeros(n + 1, np.int64)
+        cf = np.zeros(n + 1, bool)
+        cf[1:] = [bool(x) for x in self.contained_flag[1:n + 1]]
+        for ds in self.datasets:
+            if not ds.is_paired:
+                continue
+            if ds.is_interleaved:
+                r = np.arange(ds.r1_start, ds.r1_end + 1)
+                odd = (r - ds.r1_start) % 2 == 1
+                mate[r] = np.where(odd, r - 1, r + 1)
+            else:
+                r = np.arange(ds.r1_start, ds.r1_end + 1)
+                cand = r - ds.r1_start + ds.r2_start
+                mate[r] = np.where(cf[cand], 0, cand)
+                r2 = np.arange(ds.r2_start, ds.r2_end + 1)
+                mate[r2] = r2 - ds.r2_start + ds.r1_start
+        self._mate_array = mate
+        return mate
 
     def mate_pair_list(self, rid: int) -> List[int]:
         """reference: DataSet::getMatePairList (DataSet.cpp:425-440)."""

@@ -107,6 +107,12 @@ class FullGraph:
     # ------------------------------------------------------------------
     def read_par_edges(self, path: str) -> None:
         d = self.d
+        import numpy as np
+        mate_np = d.mate_array()
+        # `used` is read-only during the parse; one bool snapshot turns the
+        # per-inner-read used/mate counting into two vector ops per line
+        used_np = np.zeros(len(d.used), bool)
+        used_np[:] = d.used
         with open(path) as f:
             for line in f:
                 line = line.rstrip("\n")
@@ -124,19 +130,16 @@ class FullGraph:
                 used_ctr = 0
                 unused_mate = 0
                 if len(tok) > 3 and tok[3]:
-                    for trip in tok[3].split(")"):
-                        if not trip:
-                            continue
-                        a = trip[1:].split(",")
-                        rid = int(a[0])
-                        ori = int(a[1])
-                        off = int(a[2])
-                        inner.append((rid, ori, off))
-                        mate = d.mate_pair(rid)
-                        if d.used[rid]:
-                            used_ctr += 1
-                        if mate > 0 and not d.used[mate]:
-                            unused_mate += 1
+                    flat = list(map(int,
+                                    tok[3][1:-1].replace(")(", ",")
+                                    .split(",")))
+                    it = iter(flat)
+                    inner = list(zip(it, it, it))
+                    rids = np.asarray(flat[0::3])
+                    used_ctr = int(np.count_nonzero(used_np[rids]))
+                    mates = mate_np[rids]
+                    unused_mate = int(np.count_nonzero(
+                        (mates > 0) & ~used_np[mates]))
                 if self._is_used_edge(len(inner), used_ctr, unused_mate,
                                       src, dst):
                     continue
