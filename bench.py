@@ -109,12 +109,26 @@ def main() -> None:
 
         baseline = _reference_rate(fasta, total)
 
-    print(json.dumps({
+    payload = {
         "metric": "overlaps_verified_per_s_chip",
         "value": round(rate),
         "unit": "pairs/s",
         "vs_baseline": (round(rate / baseline, 2) if baseline else None),
-    }))
+    }
+    # merge the cached end-to-end buildG wall clocks (tools/bench_e2e.py:
+    # device backend vs native backend vs reference, byte-identical
+    # outputs) if a run exists on this machine
+    e2e = ROOT / "refbuild" / "bench_e2e.json"
+    if e2e.exists():
+        try:
+            data = json.loads(e2e.read_text())
+            for key in ("device", "native", "reference_t1",
+                        "outputs_identical", "genome_len"):
+                if key in data:
+                    payload[f"buildg_e2e_{key}"] = data[key]
+        except Exception:
+            pass
+    print(json.dumps(payload))
 
 
 def _reference_rate(fasta: str, total_pairs: int):

@@ -75,10 +75,17 @@ def main():
                 pathlib.Path(td, "REF_0_parGraph.txt").read_bytes()
                 == vals[0])
 
-    print(json.dumps({"bench": "buildg_e2e_wall_s",
-                      "genome_len": args.genome_len,
-                      "coverage": args.coverage,
-                      "outputs_identical": identical, **results}))
+    payload = {"bench": "buildg_e2e_wall_s",
+               "genome_len": args.genome_len,
+               "coverage": args.coverage,
+               "outputs_identical": identical, **results}
+    print(json.dumps(payload))
+    # cache for bench.py to merge into the round JSON line
+    cache = ROOT / "refbuild" / "bench_e2e.json"
+    try:
+        cache.write_text(json.dumps(payload))
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -54,8 +54,35 @@ with tempfile.TemporaryDirectory() as td:
     dt = (time.perf_counter() - t0) / reps
     # checksum AFTER timing (readback poisons later dispatch on tunnels)
     csum = int(np.asarray(out)[:total].sum())
-    print(f"{mode}\t{total / dt:.6e}\t{csum}\t{total}")
+    avg_n = float(np.asarray(n).mean())
+    print(f"{mode}\t{total / dt:.6e}\t{csum}\t{total}\t{avg_n:.2f}\t"
+          f"{store.n_words}")
 """
+
+
+# HBM peak bandwidth per chip for the roofline denominator (v5e: 819 GB/s,
+# public spec; override with DISCO_TPU_HBM_GBPS for other chips)
+HBM_PEAK_GBPS = float(os.environ.get("DISCO_TPU_HBM_GBPS", 819.0))
+
+
+def roofline(rate: float, avg_n: float, n_words: int) -> str:
+    """Bytes-per-pair model for the gather+compare pass.
+
+    implementation bytes: the loop gathers 4 uint32 words per word-step
+    over the FULL row (n_words steps, masked tail) + 20 B of per-pair
+    index/length inputs + 1 B output.  algorithmic bytes: the two compared
+    windows' packed bases only (2 * avg_n / 4).  Achieved-GB/s uses the
+    implementation model, i.e. it counts every gathered word as HBM
+    traffic — an upper bound on the real traffic since adjacent pairs
+    share row words in cache/VMEM, so the printed HBM fraction is itself
+    an upper bound on how memory-bound-optimal the pass is."""
+    impl_b = 16 * n_words + 20 + 1
+    algo_b = 2 * avg_n / 4
+    gbps = rate * impl_b / 1e9
+    return (f"bytes/pair impl={impl_b} algo={algo_b:.0f}; "
+            f"achieved (impl model) {gbps:.0f} GB/s "
+            f"= {100 * gbps / HBM_PEAK_GBPS:.0f}% of "
+            f"{HBM_PEAK_GBPS:.0f} GB/s HBM peak")
 
 
 def main() -> None:
@@ -67,10 +94,11 @@ def main() -> None:
             sys.stderr.write(p.stderr)
             raise SystemExit(p.returncode)
         line = p.stdout.strip().splitlines()[-1]
-        _, rate, csum, total = line.split("\t")
+        _, rate, csum, total, avg_n, n_words = line.split("\t")
         results[mode] = (float(rate), int(csum), int(total))
         print(f"{mode:7s}: {float(rate):.3e} pairs/s "
               f"(verified {csum}/{total})")
+        print(f"         {roofline(float(rate), float(avg_n), int(n_words))}")
     match = results["xla"][1:] == results["pallas"][1:]
     print(f"verified-set checksums identical: {match}")
     if not match:
