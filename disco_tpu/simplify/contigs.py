@@ -26,6 +26,7 @@ def _rc(s: str) -> str:
 
 
 _RC_TABLE = str.maketrans("ACGTacgtNn", "TGCAtgcaNn")
+_RC_BYTES = bytes.maketrans(b"ACGTacgtNn", b"TGCAtgcaNn")
 
 
 def _load_read_string(graph: FullGraph, e: Edge, s: str, index: int) -> None:
@@ -119,21 +120,19 @@ def load_sequences(graph: FullGraph, single_files: List[str],
                     cap = inner[idx + 1][2] if idx < n - 1 else last_cap
                     add(rid, e, (ori & 1) != 1, 2, pref, cap)
 
-    def feed(rid, s):
+    def feed(rid, b):
         rows = plan.get(rid)
         if not rows:
             return
-        b = brc = None
+        brc = None
         for (e, rc, mode, start, cap) in rows:
             if e.string is None:
                 e.string = bytearray(b"N" * e.edge_length())
             if rc:
                 if brc is None:
-                    brc = _rc(s).encode()
+                    brc = b.translate(_RC_BYTES)[::-1]
                 src = brc
             else:
-                if b is None:
-                    b = s.encode()
                 src = b
             if mode == 0:
                 e.string[0:cap] = src[0:cap]
@@ -144,11 +143,19 @@ def load_sequences(graph: FullGraph, single_files: List[str],
             else:
                 e.string[start:start + len(src)] = src
 
+    # reads stream as bytes straight from the native record scanner (same
+    # uppercasing as the reference's contig streamer, OverlapGraph.cpp:2165)
+    from .. import native
+    from ..io import fasta as iofasta
+
     rid = 1
     for group in (pair_files, inter_pair_files, single_files):
         for path in group:
-            for s in iter_fasta_seqs(path):
-                feed(rid, s)
+            blob, offs = native.seq_scan(iofasta.read_bytes(path))
+            raw = blob.tobytes()
+            bounds = offs.tolist()
+            for i in range(len(bounds) - 1):
+                feed(rid, raw[bounds[i]:bounds[i + 1]])
                 rid += 1
 
 

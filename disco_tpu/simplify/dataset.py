@@ -39,7 +39,16 @@ class DataSetInfo:
 
 def count_fasta_records(path: str) -> List[int]:
     """Record lengths in file order (FASTA or FASTQ; reference parses with
-    getline '>'-delimited concatenation, DataSet.cpp:88-102)."""
+    getline '>'-delimited concatenation, DataSet.cpp:88-102).  Uses the
+    native record scanner (same length semantics: stripped sequence bytes);
+    the Python reader below is the fallback/oracle."""
+    try:
+        from .. import native
+        from ..io import fasta as iofasta
+        _blob, offs = native.seq_scan(iofasta.read_bytes(path))
+        return np.diff(offs).tolist()
+    except Exception:
+        pass
     lengths: List[int] = []
     with open(path) as f:
         first = f.read(1)
