@@ -330,17 +330,21 @@ def device_overlap_compact(packed, packed_all, lengths, starts, keys, tread,
 def device_overlap_packed(packed, packed_all, lengths, starts, keys, tread,
                           torient, ttyp, *, k, n_words, max_len, hit_cap,
                           out_cap):
-    """`device_overlap_compact` with a transfer-friendly return layout for
-    tunneled/remote chips: ONE (4, out_cap) int32 data array (rows: window
-    index, r2, orient|typ<<8, flags) plus ONE small uint32 meta vector
-    [count, packed-overflow-bits...].  The host needs two pulls per chunk
-    (meta, then data[:, :count]) instead of seven."""
+    """`device_overlap_compact` with a transfer-minimal return layout for
+    tunneled/remote chips (device->host bandwidth there is the wall):
+    ONE (2, out_cap) int32 data array — row 0 packs
+    wi | orient<<21 | typ<<23 | flags<<24 (window index < 2^21 enforced by
+    the 2M-window chunk cap), row 1 is r2 — plus ONE small uint32 meta
+    vector [count, packed-overflow-bits...].  8 B/hit over the wire; two
+    pulls per chunk (meta, then data[:, :count])."""
+    assert starts.shape[0] <= (1 << 21), "chunk exceeds wi packing width"
     res = device_overlap_compact(
         packed, packed_all, lengths, starts, keys, tread, torient, ttyp,
         k=k, n_words=n_words, max_len=max_len, hit_cap=hit_cap,
         out_cap=out_cap)
-    data = jnp.stack([res.wi, res.r2, res.orient | (res.typ << 8),
-                      res.flags])
+    word0 = (res.wi | (res.orient << 21) | (res.typ << 23)
+             | (res.flags << 24))
+    data = jnp.stack([word0, res.r2])
     q = res.over.shape[0]
     pad = (-q) % 32
     bits = jnp.pad(res.over.astype(jnp.uint32), (0, pad)).reshape(-1, 32)

@@ -313,18 +313,18 @@ def _device_relation(store: ReadStore, table: FingerprintTable,
             over_windows.append(sub[~over])
             return
         rows = np.asarray(data[:, :count])  # pull 2: only occupied slots
-        wi = rows[0]
+        w0 = rows[0]
+        wi = w0 & 0x1FFFFF
         sel = wi < n_real  # drop pad-window repeats
         gwi = s + wi[sel]
-        ot = rows[2][sel]
-        flags = rows[3][sel]
+        w0 = w0[sel]
         parts["r1"].append(qread[gwi])
         parts["j"].append(qj[gwi])
         parts["r2"].append(rows[1][sel])
-        parts["orient"].append((ot & 0xFF).astype(np.int8))
-        parts["typ"].append((ot >> 8).astype(np.int8))
-        parts["edge_ok"].append((flags & 1).astype(bool))
-        parts["cont_ok"].append((flags & 2).astype(bool))
+        parts["orient"].append(((w0 >> 21) & 3).astype(np.int8))
+        parts["typ"].append(((w0 >> 23) & 1).astype(np.int8))
+        parts["edge_ok"].append(((w0 >> 24) & 1).astype(bool))
+        parts["cont_ok"].append(((w0 >> 25) & 1).astype(bool))
 
     s = 0
     for n_real, data, meta in eng.run_packed_chunked(starts, chunk=chunk):
