@@ -324,7 +324,10 @@ class FullGraph:
     def remove_dead_end_nodes(self) -> int:
         p = self.p
         to_remove: List[int] = []
-        for i in range(1, self.d.size() + 1):
+        # ascending live keys == the reference's 1..N scan restricted to
+        # non-empty nodes (the `continue` below); skips the dict probe per
+        # absent read ID
+        for i in list(self.g.keys):
             lst = self.g.get(i)
             if not lst:
                 continue
@@ -763,7 +766,7 @@ class FullGraph:
         `extra_paths` — the driver always snapshots each phase twice, once
         as the phase file and once as _CurrGraph_; format once)."""
         parts: List[str] = []
-        for i in range(1, self.d.size() + 1):
+        for i in list(self.g.keys):
             lst = self.g.get(i)
             if not lst:
                 continue
@@ -780,7 +783,7 @@ class FullGraph:
         """Length-sorted descending (reference: getEdges :1708-1733 —
         std::sort ascending by length then reverse)."""
         out: List[Edge] = []
-        for i in range(1, self.d.size() + 1):
+        for i in list(self.g.keys):
             lst = self.g.get(i)
             if not lst:
                 continue
