@@ -91,20 +91,46 @@ def main() -> None:
             make_packed_all(store.packed, store.packed_rc))
         total = len(r1)
         dev = [jax.device_put(x) for x in (r1, rows2, o1, o2, n)]
-        out = verify_windows(packed_all, *dev, n_words=store.n_words)
-        out.block_until_ready()
-        # enough reps to amortize the one dispatch-latency stall paid at the
-        # final block_until_ready (dominant when the chip is tunneled);
-        # best-of-3 to shed scheduler noise
-        reps = 50
+        # Measurement design (round-3 rework): the whole rep loop runs
+        # INSIDE one jit as a lax.fori_loop whose body depends on the
+        # iteration index and carries a scalar — one dispatch, one scalar
+        # readback.  Anything else is untrustworthy on a tunneled chip:
+        # host-side rep loops over identical inputs get DEDUPLICATED by
+        # the terminal (round-1/2 recorded 2.3e10-8.2e10 pairs/s this
+        # way — inflated), block_until_ready can return before large
+        # executions finish, and any readback degrades later dispatch
+        # into a per-call round-trip mode.  With the in-program loop the
+        # device does >=several seconds of real work per dispatch and
+        # every latency amortizes to nothing.
+        import jax.numpy as jnp
+        from jax import lax
+        r1d, rows2d, o1d, o2d, nd = dev
+        n_words = store.n_words
+
+        @jax.jit
+        def bench_kernel(packed_all, r1, rows2, o1, o2, n, iters):
+            def body(i, acc):
+                o1x = o1 + (i % 2).astype(o1.dtype)  # defeat hoisting
+                ok = verify_windows(packed_all, r1, rows2, o1x, o2, n,
+                                    n_words=n_words)
+                return acc + ok.sum(dtype=jnp.int64)
+            return lax.fori_loop(0, iters, body, jnp.int64(0))
+
+        # warmup + calibration (includes compile and the one-time
+        # transfer-path init; iters rides as a DYNAMIC scalar so repeat
+        # calls neither recompile nor dedupe)
+        jnp_i = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+        int(bench_kernel(packed_all, r1d, rows2d, o1d, o2d, nd, jnp_i(2)))
+        t0 = time.perf_counter()
+        int(bench_kernel(packed_all, r1d, rows2d, o1d, o2d, nd, jnp_i(10)))
+        cal = (time.perf_counter() - t0) / 10
+        iters = max(int(8.0 / max(cal, 1e-9)), 20)
         rate = 0.0
-        for _ in range(3):
+        for it in (iters, iters + 1):
             t0 = time.perf_counter()
-            for _ in range(reps):
-                out = verify_windows(packed_all, *dev,
-                                     n_words=store.n_words)
-            out.block_until_ready()
-            dt = (time.perf_counter() - t0) / reps
+            int(bench_kernel(packed_all, r1d, rows2d, o1d, o2d, nd,
+                             jnp_i(it)))
+            dt = (time.perf_counter() - t0) / it
             rate = max(rate, total / dt)
 
         baseline = _reference_rate(fasta, total)

@@ -88,36 +88,17 @@ def candidate_checks(packed_all, lengths, qread, qj, r2, orient, valid,
     rows1 = qread_f
     rows2 = (r2f + jnp.where(use_rc, n_reads, 0)).astype(jnp.int32)
 
+    # whole-row gathers ONCE, then roll-aligned vector compares per check —
+    # the per-(element, word) dynamic gathers this replaces run ~100x
+    # slower on TPU (see overlap/verify.py::verify_windows)
+    from .verify import _masked_equal, align_window
+    blk1 = packed_all[rows1]
+    blk2 = packed_all[rows2]
+
     def check(o1, o2, nl):
-        bit1 = (2 * (o1 % 16)).astype(jnp.uint32)
-        bit2 = (2 * (o2 % 16)).astype(jnp.uint32)
-
-        def body(wi, ok):
-            rem = nl - 16 * wi
-            idx1 = jnp.minimum(o1 // 16 + wi, wlim)
-            a0 = packed_all[rows1, idx1]
-            a1 = packed_all[rows1, jnp.minimum(idx1 + 1, wlim)]
-            idx2 = jnp.minimum(o2 // 16 + wi, wlim)
-            b0 = packed_all[rows2, idx2]
-            b1 = packed_all[rows2, jnp.minimum(idx2 + 1, wlim)]
-            x = jnp.where(bit1 == 0, a0,
-                          (a0 << bit1) | ((a1 >> (jnp.uint32(31) - bit1))
-                                          >> jnp.uint32(1)))
-            y = jnp.where(bit2 == 0, b0,
-                          (b0 << bit2) | ((b1 >> (jnp.uint32(31) - bit2))
-                                          >> jnp.uint32(1)))
-            full = jnp.uint32(0xFFFFFFFF)
-            partial = full << (jnp.uint32(2) * (
-                jnp.uint32(16)
-                - jnp.clip(rem, 1, 16).astype(jnp.uint32)))
-            mask = jnp.where(rem >= 16, full,
-                             jnp.where(rem <= 0, jnp.uint32(0), partial))
-            return ok & (((x ^ y) & mask) == 0)
-
-        ok = jnp.ones(r2f.shape, jnp.bool_)
-        for wi in range(n_words):
-            ok = body(wi, ok)
-        return ok
+        a = align_window(blk1, o1)
+        b = align_window(blk2, o2)
+        return _masked_equal(a, b, nl, n_words)
 
     edge_ok = check(e_o1, e_o2, e_n) & e_valid
     cont_ok = check(c_o1, jnp.zeros_like(c_o1), c_n) & c_valid
@@ -206,36 +187,16 @@ def candidate_checks_rows(rows1, rows2, lengths, qread, qj, r2, orient,
     c_o1 = jnp.broadcast_to(c_o1, r2.shape)
 
     n_words = rows1.shape[-1] - 1
+    wp = rows1.shape[-1]
+    q, h = r2.shape
+    from .verify import _masked_equal, align_window
+    blk1 = jnp.broadcast_to(rows1[:, None, :], (q, h, wp)).reshape(-1, wp)
+    blk2 = rows2.reshape(-1, wp)
 
     def check(o1, o2, nl):
-        bit1 = (2 * (o1 % 16)).astype(jnp.uint32)
-        bit2 = (2 * (o2 % 16)).astype(jnp.uint32)
-        ok = jnp.ones(r2.shape, jnp.bool_)
-        for wi in range(n_words):
-            rem = nl - 16 * wi
-            idx1 = jnp.minimum(o1 // 16 + wi, wlim)
-            a0 = jnp.take_along_axis(rows1, idx1, axis=1)
-            a1 = jnp.take_along_axis(rows1, jnp.minimum(idx1 + 1, wlim),
-                                     axis=1)
-            idx2 = jnp.minimum(o2 // 16 + wi, wlim)
-            b0 = jnp.take_along_axis(rows2, idx2[..., None], axis=2)[..., 0]
-            b1 = jnp.take_along_axis(
-                rows2, jnp.minimum(idx2 + 1, wlim)[..., None],
-                axis=2)[..., 0]
-            x = jnp.where(bit1 == 0, a0,
-                          (a0 << bit1) | ((a1 >> (jnp.uint32(31) - bit1))
-                                          >> jnp.uint32(1)))
-            y = jnp.where(bit2 == 0, b0,
-                          (b0 << bit2) | ((b1 >> (jnp.uint32(31) - bit2))
-                                          >> jnp.uint32(1)))
-            full = jnp.uint32(0xFFFFFFFF)
-            partial = full << (jnp.uint32(2) * (
-                jnp.uint32(16)
-                - jnp.clip(rem, 1, 16).astype(jnp.uint32)))
-            mask = jnp.where(rem >= 16, full,
-                             jnp.where(rem <= 0, jnp.uint32(0), partial))
-            ok &= (((x ^ y) & mask) == 0)
-        return ok
+        a = align_window(blk1, o1.reshape(-1))
+        b = align_window(blk2, o2.reshape(-1))
+        return _masked_equal(a, b, nl.reshape(-1), n_words).reshape(q, h)
 
     edge_ok = check(e_o1, e_o2, e_n) & e_valid
     cont_ok = check(c_o1, jnp.zeros_like(c_o1), c_n) & c_valid

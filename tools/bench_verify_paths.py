@@ -33,6 +33,8 @@ sys.path.insert(0, %(root)r)
 mode = sys.argv[1]
 import numpy as np, jax
 import bench
+if len(sys.argv) > 2:
+    bench.GENOME_LEN = int(sys.argv[2])
 from disco_tpu.overlap.verify import (make_packed_all, verify_windows,
                                       verify_windows_pallas)
 fn = verify_windows if mode == "xla" else verify_windows_pallas
@@ -46,17 +48,27 @@ with tempfile.TemporaryDirectory() as td:
     dev = [jax.device_put(x) for x in (r1, rows2, o1, o2, n)]
     out = fn(packed_all, *dev, n_words=store.n_words)
     out.block_until_ready()
+    # chained timing: each rep's o1 consumes a scalar of the previous
+    # output, forcing genuinely sequential executions — on tunneled chips
+    # block_until_ready alone can return before large executions finish,
+    # yielding physically impossible rates (round-3 finding)
+    r1d, rows2d, o1d, o2d, nd = dev
     reps = 20
     t0 = time.perf_counter()
+    out = None
     for _ in range(reps):
-        out = fn(packed_all, *dev, n_words=store.n_words)
+        o1x = o1d if out is None else \
+            o1d + (out[0].astype(o1d.dtype) * 0)
+        out = fn(packed_all, r1d, rows2d, o1x, o2d, nd,
+                 n_words=store.n_words)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
     # checksum AFTER timing (readback poisons later dispatch on tunnels)
     csum = int(np.asarray(out)[:total].sum())
     avg_n = float(np.asarray(n).mean())
+    ws = packed_all.nbytes + sum(x.nbytes for x in dev)
     print(f"{mode}\t{total / dt:.6e}\t{csum}\t{total}\t{avg_n:.2f}\t"
-          f"{store.n_words}")
+          f"{store.n_words}\t{ws}")
 """
 
 
@@ -65,40 +77,55 @@ with tempfile.TemporaryDirectory() as td:
 HBM_PEAK_GBPS = float(os.environ.get("DISCO_TPU_HBM_GBPS", 819.0))
 
 
-def roofline(rate: float, avg_n: float, n_words: int) -> str:
-    """Bytes-per-pair model for the gather+compare pass.
+def roofline(rate: float, avg_n: float, n_words: int, ws: int) -> str:
+    """Bytes-per-pair roofline bracket for the gather+compare pass.
 
-    implementation bytes: the loop gathers 4 uint32 words per word-step
-    over the FULL row (n_words steps, masked tail) + 20 B of per-pair
-    index/length inputs + 1 B output.  algorithmic bytes: the two compared
-    windows' packed bases only (2 * avg_n / 4).  Achieved-GB/s uses the
-    implementation model, i.e. it counts every gathered word as HBM
-    traffic — an upper bound on the real traffic since adjacent pairs
-    share row words in cache/VMEM, so the printed HBM fraction is itself
-    an upper bound on how memory-bound-optimal the pass is."""
+    implementation bytes (upper bound): the loop gathers 4 uint32 words
+    per word-step over the FULL row (n_words steps, masked tail) + 20 B
+    of per-pair index/length inputs + 1 B output — counts every gathered
+    word as HBM traffic, ignoring row-word reuse.  algorithmic bytes
+    (lower bound): the two compared windows' packed bases only
+    (2 * avg_n / 4).  When the whole working set fits on-chip (VMEM/CMEM)
+    the pass is in the COMPUTE-bound regime and the HBM fraction is
+    meaningless — the regime is printed so the right number is read."""
     impl_b = 16 * n_words + 20 + 1
     algo_b = 2 * avg_n / 4
-    gbps = rate * impl_b / 1e9
-    return (f"bytes/pair impl={impl_b} algo={algo_b:.0f}; "
-            f"achieved (impl model) {gbps:.0f} GB/s "
-            f"= {100 * gbps / HBM_PEAK_GBPS:.0f}% of "
-            f"{HBM_PEAK_GBPS:.0f} GB/s HBM peak")
+    hi = rate * impl_b / 1e9
+    lo = rate * algo_b / 1e9
+    regime = ("on-chip-resident (compute-bound regime)" if ws < 64 << 20
+              else "HBM-streaming regime")
+    return (f"working set {ws / 1e6:.0f} MB — {regime}; "
+            f"bytes/pair impl={impl_b} algo={algo_b:.0f}; "
+            f"implied HBM demand {lo:.0f}-{hi:.0f} GB/s "
+            f"vs {HBM_PEAK_GBPS:.0f} GB/s peak "
+            f"({100 * lo / HBM_PEAK_GBPS:.0f}-"
+            f"{100 * hi / HBM_PEAK_GBPS:.0f}%)")
 
 
 def main() -> None:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genome-len", type=int, default=0,
+                    help="override the bench dataset size (0 = bench.py "
+                         "default 400kb, on-chip-resident; use 4600000 for "
+                         "the HBM-streaming regime)")
+    args = ap.parse_args()
+
     results = {}
     for mode in ("xla", "pallas"):
-        p = subprocess.run([sys.executable, "-c", _CHILD % {"root": ROOT},
-                            mode], capture_output=True, text=True)
+        cmd = [sys.executable, "-c", _CHILD % {"root": ROOT}, mode]
+        if args.genome_len:
+            cmd.append(str(args.genome_len))
+        p = subprocess.run(cmd, capture_output=True, text=True)
         if p.returncode != 0:
             sys.stderr.write(p.stderr)
             raise SystemExit(p.returncode)
         line = p.stdout.strip().splitlines()[-1]
-        _, rate, csum, total, avg_n, n_words = line.split("\t")
+        _, rate, csum, total, avg_n, n_words, ws = line.split("\t")
         results[mode] = (float(rate), int(csum), int(total))
         print(f"{mode:7s}: {float(rate):.3e} pairs/s "
               f"(verified {csum}/{total})")
-        print(f"         {roofline(float(rate), float(avg_n), int(n_words))}")
+        print(f"         {roofline(float(rate), float(avg_n), int(n_words), int(ws))}")
     match = results["xla"][1:] == results["pallas"][1:]
     print(f"verified-set checksums identical: {match}")
     if not match:
