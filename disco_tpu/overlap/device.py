@@ -287,6 +287,91 @@ def device_overlap_compact(packed, packed_all, lengths, starts, keys, tread,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("k", "n_words", "max_len", "cand_cap", "out_cap"))
+def device_overlap_dense(packed, packed_all, lengths, starts, tmeta,
+                         keys, *, k, n_words, max_len, cand_cap, out_cap):
+    """Dense-candidate device overlap step — the production formulation.
+
+    Instead of a (Q, hit_cap) candidate grid (mostly invalid slots: mean
+    bucket occupancy is ~0.5, so a 16-wide grid wastes ~30x of the
+    verification work and its memory), candidates are COMPACTED on device
+    first: bucket ranges from the searchsorted lookup are flattened into a
+    dense (cand_cap,) candidate list via an inverse-searchsorted over the
+    per-window prefix sums, and only those are verified.  Hits then
+    compact to the same 8-byte wire rows as device_overlap_packed.
+
+    tmeta: (M,) int32 packed table metadata — read << 3 | orient << 1 |
+    typ (one gather per candidate instead of three; requires
+    n_reads < 2^28, asserted by the engine).
+
+    Returns (data (2, out_cap) int32, meta uint32 vector
+    [n_hits, n_candidates]): `meta[1] > cand_cap` or `meta[0] > out_cap`
+    means the chunk must be re-run through the exact host path.  There is
+    no per-window bucket cap at all — overflow is global per chunk."""
+    q = starts.shape[0]
+    qread = (starts // max_len).astype(jnp.int32)
+    qj = (starts % max_len).astype(jnp.int32)
+
+    wbase = qj // 16
+    phase = (2 * (qj % 16)).astype(jnp.uint32)
+    wlim = packed.shape[1] - 1
+    w0 = packed[qread, jnp.minimum(wbase, wlim)].astype(jnp.uint64)
+    w1 = packed[qread, jnp.minimum(wbase + 1, wlim)].astype(jnp.uint64)
+    w2 = packed[qread, jnp.minimum(wbase + 2, wlim)].astype(jnp.uint64)
+    hi = (w0 << jnp.uint64(32)) | w1
+    phase64 = phase.astype(jnp.uint64)
+    win64 = jnp.where(
+        phase64 == 0, hi,
+        (hi << phase64) | ((w2 >> (jnp.uint64(31) - phase64))
+                           >> jnp.uint64(1)))
+    kk = min(k, 32)
+    qcode = win64 >> jnp.uint64(64 - 2 * kk)
+
+    lo = jnp.searchsorted(keys, qcode, side="left").astype(jnp.int32)
+    hi_i = jnp.searchsorted(keys, qcode, side="right").astype(jnp.int32)
+    counts = hi_i - lo
+    cum = jnp.concatenate([jnp.zeros(1, jnp.int64),
+                           jnp.cumsum(counts.astype(jnp.int64))])
+    n_cand = cum[q]
+
+    # ---- candidate compaction: flat slot -> (window, bucket rank) -----
+    slots = jnp.arange(cand_cap, dtype=jnp.int64)
+    cwin = (jnp.searchsorted(cum, slots, side="right") - 1).astype(jnp.int32)
+    cvalid = slots < n_cand
+    cwin = jnp.clip(cwin, 0, q - 1)
+    rank = slots - cum[cwin]
+    tpos = jnp.clip(lo[cwin] + rank, 0, tmeta.shape[0] - 1)
+    meta_g = jnp.where(cvalid, tmeta[tpos], 0)
+    r2 = meta_g >> 3
+    orient = (meta_g >> 1) & 3
+    typ = meta_g & 1
+
+    cread = qread[cwin]
+    cj = qj[cwin]
+    edge_ok, cont_ok = candidate_checks(
+        packed_all, lengths, cread, cj, r2[:, None], orient[:, None],
+        cvalid[:, None], k=k, n_words=n_words)
+    edge_ok = edge_ok[:, 0]
+    cont_ok = cont_ok[:, 0]
+
+    # ---- hit compaction to wire rows ----------------------------------
+    keep = edge_ok | cont_ok
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    idx = jnp.where(keep, pos, out_cap)
+    flags = edge_ok.astype(jnp.int32) | (cont_ok.astype(jnp.int32) << 1)
+    word0 = cwin | (orient << 21) | (typ << 23) | (flags << 24)
+
+    def scat(vals):
+        return jnp.zeros(out_cap, jnp.int32).at[idx].set(vals, mode="drop")
+
+    data = jnp.stack([scat(word0), scat(r2)])
+    meta = jnp.stack([keep.sum().astype(jnp.uint32),
+                      n_cand.astype(jnp.uint32)])
+    return data, meta
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "n_words", "max_len", "hit_cap", "out_cap"))
 def device_overlap_packed(packed, packed_all, lengths, starts, keys, tread,
                           torient, ttyp, *, k, n_words, max_len, hit_cap,
@@ -334,6 +419,12 @@ class DeviceOverlapEngine:
         self.tread = jax.device_put(jnp.asarray(table.read, jnp.int32))
         self.torient = jax.device_put(jnp.asarray(table.orient, jnp.int32))
         self.ttyp = jax.device_put(jnp.asarray(table.typ, jnp.int32))
+        # packed metadata column for the dense path (one gather/candidate)
+        assert store.n_reads < (1 << 28), "dense path: read id packing"
+        self.tmeta = jax.device_put(jnp.asarray(
+            (table.read.astype(np.int32) << 3)
+            | (table.orient.astype(np.int32) << 1)
+            | table.typ.astype(np.int32)))
 
     def window_starts(self) -> np.ndarray:
         lens = self.store.lengths.astype(np.int64)
@@ -379,6 +470,36 @@ class DeviceOverlapEngine:
             self.ttyp, k=self.k, n_words=self.store.n_words,
             max_len=self.store.max_len, hit_cap=self.hit_cap,
             out_cap=out_cap)
+
+    def run_dense(self, starts, cand_cap: int, out_cap: int):
+        return device_overlap_dense(
+            self.packed, self.packed_all, self.lengths,
+            jnp.asarray(starts), self.tmeta, self.keys, k=self.k,
+            n_words=self.store.n_words, max_len=self.store.max_len,
+            cand_cap=cand_cap, out_cap=out_cap)
+
+    def run_dense_chunked(self, starts: np.ndarray, chunk: int = 1 << 20,
+                          cand_cap: int = None, out_cap: int = None):
+        """Yield (n_real, data, meta) per chunk (1-deep dispatch
+        pipeline), dense-candidate formulation."""
+        if cand_cap is None:
+            cand_cap = 4 * chunk
+        if out_cap is None:
+            out_cap = chunk
+        q = len(starts)
+        pending = None
+        for s in range(0, q, chunk):
+            e = min(s + chunk, q)
+            part = starts[s:e]
+            if e - s < chunk:
+                part = np.concatenate(
+                    [part, np.full(chunk - (e - s), part[-1], part.dtype)])
+            res = self.run_dense(part, cand_cap, out_cap)
+            if pending is not None:
+                yield pending
+            pending = (e - s,) + res
+        if pending is not None:
+            yield pending
 
     def run_packed_chunked(self, starts: np.ndarray, chunk: int = 1 << 21,
                            out_cap: int = None):

@@ -270,15 +270,17 @@ def _sorted_relation(store: ReadStore, rows: dict, k: int) -> OverlapRelation:
 
 
 def _device_relation(store: ReadStore, table: FingerprintTable,
-                     chunk: int = None, hit_cap: int = 16,
+                     chunk: int = None, cand_factor: int = 4,
                      ) -> OverlapRelation:
     """Production on-chip overlap phase (VERDICT r2 §next-1): the full
-    window scan runs through the jit device pipeline with on-device hit
-    compaction (overlap/device.py::device_overlap_packed — one data + one
-    meta pull per chunk, sized for tunneled chips); windows whose key
-    bucket exceeds `hit_cap` (rare at sane k) are re-verified exactly on
-    the host via the XLA expansion path.  Output is identical to the
-    native backend: same rows, same (r1, j, bucket-scan) order.
+    window scan runs through the dense-candidate jit pipeline
+    (overlap/device.py::device_overlap_dense — candidates compacted on
+    device BEFORE verification, hits compacted to 8-byte wire rows; one
+    data + one tiny meta pull per chunk).  Chunks whose candidate or hit
+    count exceeds the static caps (cand_factor * chunk / chunk) are
+    re-verified exactly on the host via the XLA expansion path.  Output
+    is identical to the native backend: same rows, same
+    (r1, j, bucket-scan) order.
 
     Displaces the reference's hot loop
     (src/BuildGraph/src/OverlapGraph.cpp:631-674)."""
@@ -288,29 +290,24 @@ def _device_relation(store: ReadStore, table: FingerprintTable,
 
     if chunk is None:
         chunk = int(os.environ.get("DISCO_TPU_DEVICE_CHUNK", 1 << 20))
+    cand_cap = cand_factor * chunk
     k = table.k
     qread, qj, qcode = window_codes(store, k)
     q = len(qread)
-    eng = DeviceOverlapEngine(store, table, hit_cap=hit_cap)
+    eng = DeviceOverlapEngine(store, table)
     starts = (qread.astype(np.int64) * store.max_len
               + qj.astype(np.int64))
 
     parts = {n: [] for n in ("r1", "j", "r2", "orient", "typ",
                              "cont_ok", "edge_ok")}
-    over_windows = []
+    fallback_windows = []
 
     def collect(s, n_real, data, meta):
-        meta = np.asarray(meta)          # pull 1: count + overflow bits
+        meta = np.asarray(meta)          # pull 1: [n_hits, n_candidates]
         count = int(meta[0])
-        bits = meta[1:]
-        wbit = np.arange(32, dtype=np.uint32)
-        over = ((bits[:, None] >> wbit) & 1).astype(bool).reshape(-1)
-        over = over[:n_real]
-        if over.any():
-            over_windows.append(s + np.nonzero(over)[0])
-        if count > chunk:  # compaction overflow: exact re-run of the chunk
-            sub = np.arange(s, s + n_real)
-            over_windows.append(sub[~over])
+        if int(meta[1]) > cand_cap or count > chunk:
+            # static-cap overflow: exact host re-run of the whole chunk
+            fallback_windows.append(np.arange(s, s + n_real))
             return
         rows = np.asarray(data[:, :count])  # pull 2: only occupied slots
         w0 = rows[0]
@@ -327,12 +324,14 @@ def _device_relation(store: ReadStore, table: FingerprintTable,
         parts["cont_ok"].append(((w0 >> 25) & 1).astype(bool))
 
     s = 0
-    for n_real, data, meta in eng.run_packed_chunked(starts, chunk=chunk):
+    for n_real, data, meta in eng.run_dense_chunked(starts, chunk=chunk,
+                                                    cand_cap=cand_cap,
+                                                    out_cap=chunk):
         collect(s, n_real, data, meta)
         s += n_real
 
-    if over_windows:
-        ow = np.concatenate(over_windows)
+    if fallback_windows:
+        ow = np.concatenate(fallback_windows)
         fb = _xla_rows(store, table, qread[ow], qj[ow], qcode[ow])
         for n in parts:
             parts[n].append(fb[n])

@@ -34,19 +34,20 @@ def test_device_backend_matches_native():
     _assert_equal(got, want)
 
 
-def test_device_backend_bucket_overflow_fallback():
-    """hit_cap=2 forces most windows through the exact XLA fallback."""
+def test_device_backend_cand_cap_overflow_fallback():
+    """cand_factor=1 with tiny chunks makes some chunks exceed the static
+    candidate cap, exercising the exact whole-chunk host re-run."""
     store, table = _load()
     want = compute_relation(store, table, backend="native")
-    got = _device_relation(store, table, hit_cap=2)
+    got = _device_relation(store, table, chunk=32, cand_factor=1)
     _assert_equal(got, want)
 
 
-def test_device_backend_compaction_overflow_fallback():
-    """A tiny chunk/out_cap triggers the whole-chunk exact re-run path."""
+def test_device_backend_small_chunks():
+    """Many chunks incl. a padded tail; dense path, no fallback pressure."""
     store, table = _load()
     want = compute_relation(store, table, backend="native")
-    got = _device_relation(store, table, chunk=64, hit_cap=16)
+    got = _device_relation(store, table, chunk=256)
     _assert_equal(got, want)
 
 
