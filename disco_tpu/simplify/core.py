@@ -28,7 +28,7 @@ class Rope:
     """Immutable sequence of (readID, orient, offset) triples with O(1)
     concat.  `orient` is 1 bit (1 = forward), `offset` the inner overlap
     offset (reference packing: Edge.h:28-39)."""
-    __slots__ = ("left", "right", "leaf", "n", "_flat", "_psum")
+    __slots__ = ("left", "right", "leaf", "n", "_flat", "_psum", "_fmt")
 
     def __init__(self, leaf: Optional[Tuple] = None,
                  left: "Rope" = None, right: "Rope" = None):
@@ -39,6 +39,35 @@ class Rope:
                   else (left.n if left else 0) + (right.n if right else 0))
         self._flat = leaf if leaf is not None else None
         self._psum = None
+        self._fmt = None
+
+    def fmt(self) -> str:
+        """The edge-file "(rid,ori,off)..." rendering of this rope —
+        cached (ropes are immutable) and composed from child caches, so
+        repeated graph snapshots and merge chains reuse instead of
+        reformatting every triple (print_all_edges was a top profile
+        entry at 10 Mb)."""
+        if self._fmt is None:
+            # iterative left-to-right walk (concat chains can be thousands
+            # deep — same reason flat() uses an explicit stack), reusing
+            # any already-cached subtree strings
+            parts = []
+            stack = [self]
+            while stack:
+                r = stack.pop()
+                if r._fmt is not None:
+                    parts.append(r._fmt)
+                elif r.leaf is not None:
+                    r._fmt = "".join(
+                        f"({a},{b},{c})" for (a, b, c) in r.leaf)
+                    parts.append(r._fmt)
+                else:
+                    if r.right is not None and r.right.n:
+                        stack.append(r.right)
+                    if r.left is not None and r.left.n:
+                        stack.append(r.left)
+            self._fmt = "".join(parts)
+        return self._fmt
 
     # -- construction -------------------------------------------------------
     EMPTY: "Rope" = None  # set below

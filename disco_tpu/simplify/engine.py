@@ -755,11 +755,8 @@ class FullGraph:
     # output (reference: printAllEdges :1997-2020, printEdge :1742-1775)
     # ------------------------------------------------------------------
     def format_edge(self, e: Edge) -> str:
-        parts = [f"{e.src}\t{e.dst}\t{e.orient},{e.offset},"
-                 f"{e.edge_length()},0,0,{e.flow}\t"]
-        for (rid, ori, off) in e.inner:
-            parts.append(f"({rid},{ori},{off})")
-        return "".join(parts)
+        return (f"{e.src}\t{e.dst}\t{e.orient},{e.offset},"
+                f"{e.edge_length()},0,0,{e.flow}\t" + e.inner.fmt())
 
     def print_all_edges(self, path: str, *extra_paths: str) -> None:
         """Write the graph snapshot to `path` (and identical copies to

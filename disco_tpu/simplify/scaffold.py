@@ -58,14 +58,33 @@ def calculate_mean_sd_inner_distance(graph: FullGraph) -> None:
             offs_cache[id(e)] = a
         return a
 
+    ma = d.mate_array()
+    bwd_cache: dict = {}
+
+    def bwd(r2):
+        lst = bwd_cache.get(r2)
+        if lst is None:
+            bwd_cache[r2] = lst = d.bwd_edges(r2)
+        return lst
+
     for ds in d.datasets:
         if ds.is_paired:
             dists: List[int] = []
             locs = d.edge_locs
+            con = d.con_reads
             for i in range(ds.r1_start, ds.r1_end + 1):
                 if not locs[i]:
                     continue  # fwd_edges(i) would be empty for every mate
-                mp = d.mate_pair_list(i)
+                # mate_pair_list via the cached vectorized mate array
+                # (identical semantics incl. contained-mate quirks)
+                m = ma[i]
+                mp = [m] if m else []
+                cl = con[i]
+                if cl:
+                    for (cid, _s, _o) in cl:
+                        cm = ma[cid]
+                        if cm:
+                            mp.append(cm)
                 l1 = None  # computed lazily, invariant over the mate loop
                 for r2 in mp:
                     if not locs[r2]:
@@ -77,7 +96,7 @@ def calculate_mean_sd_inner_distance(graph: FullGraph) -> None:
                         rl1 = d.read_len(i)
                     if not l1:
                         break
-                    l2 = d.bwd_edges(r2)
+                    l2 = bwd(r2)
                     for (e1, i1) in l1:
                         o1 = edge_offsets(e1)
                         for (e2, i2) in l2:

@@ -29,3 +29,21 @@ def test_gfa_and_unused_parity(tmp_path):
         got = (tmp_path / name).read_bytes()
         want = (gold / name).read_bytes()
         assert got == want, f"{name} differs"
+
+
+def test_mate_array_matches_mate_pair():
+    """The vectorized mate array must equal mate_pair for every read,
+    across interleaved, separated, and single datasets."""
+    from conftest import GOLDEN
+    from disco_tpu.simplify.dataset import SimplifyDataset
+
+    d = SimplifyDataset([str(GOLDEN / "mixed" / "se.fasta")],
+                        [str(GOLDEN / "mixed" / "p1.fasta"),
+                         str(GOLDEN / "mixed" / "p2.fasta")],
+                        [str(GOLDEN / "mini" / "reads.fasta")])
+    # mark a few contained reads to exercise the quirk branches
+    for rid in range(1, d.size() + 1, 7):
+        d.contained_flag[rid] = True
+    ma = d.mate_array()
+    for rid in range(1, d.size() + 1):
+        assert int(ma[rid]) == d.mate_pair(rid), rid
