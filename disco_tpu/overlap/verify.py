@@ -135,13 +135,11 @@ def verify_windows_pallas(packed_all, rows1, rows2, o1, o2, n, *, n_words,
     o1 = o1.astype(jnp.int32)
     o2 = o2.astype(jnp.int32)
     n = n.astype(jnp.int32)
-    wi = jnp.arange(n_words + 1, dtype=jnp.int32)[:, None]
-    # (W+1, P) gathered word columns, base-word aligned per candidate
-    a = packed_all[rows1[None, :], jnp.minimum(o1[None, :] // 16 + wi,
-                                               packed_all.shape[1] - 1)]
-    b = packed_all[rows2[None, :], jnp.minimum(o2[None, :] // 16 + wi,
-                                               packed_all.shape[1] - 1)]
-    bit1 = 2 * (o1 % 16)
-    bit2 = 2 * (o2 % 16)
-    ok = compare_windows(a, b, bit1, bit2, n, interpret=interpret)
+    # (W+1, P) fully-aligned word columns via the row-gather + roll-align
+    # preamble (same as verify_windows; the per-element gather preamble
+    # this replaces was the dominant cost, not the compare kernel)
+    a = align_window(packed_all[rows1], o1).T
+    b = align_window(packed_all[rows2], o2).T
+    zero = jnp.zeros_like(o1)
+    ok = compare_windows(a, b, zero, zero, n, interpret=interpret)
     return ok[:p] if pad else ok
