@@ -35,6 +35,31 @@ CASES = [
 ]
 
 
+# Multi-iteration case: noise pairs keep the used-read fraction after
+# iteration 1 under maxReadsUsed=0.75 (so the reference's iteration loop
+# continues, src/SimplifyGraph/src/main.cpp:79-93), and dense sub-300bp
+# islets (< minSequenceLengthTobePrinted, hence unused, yet >= 20 inner
+# reads so they survive iteration 2-3 dead-end removal) give iterations
+# 2-3 a real non-empty graph (an empty graph at the flow phase crashes
+# the reference's CS2 with UNFEASIBLE).
+MULTI_ITER_CASE = dict(seed=888, glen=40000, cov=15, rlen=120,
+                       noise_frac=0.30, islets=8)
+
+MULTI_ITER_OUTPUTS = [
+    f"{name}_{it}.txt"
+    for it in (2, 3)
+    for name in ("phase_parsimplify", "phase_initial", "phase_aggressive",
+                 "phase_flow", "phase_postflow", "phase_scaffold",
+                 "UsedReads")
+] + [
+    f"{name}_{it}{ext}"
+    for it in (1, 2, 3)
+    for name, ext in (("scaffoldsFinal", ".fasta"),
+                      ("scaffoldEdgesFinal", ".txt"),
+                      ("scaffoldEdgeCoverageFinal", ".txt"))
+]
+
+
 def _have_oracle() -> bool:
     return (REFBUILD / "buildG").exists() and \
         (REFBUILD / "fullsimplify").exists() and \
@@ -97,3 +122,60 @@ def test_fresh_dataset_full_parity(seed, glen, cov, rlen, ngen, tmp_path):
         if name == "phase_parsimplify_1.txt":
             continue
         assert got == ref.read_bytes(), f"{name} differs (seed {seed})"
+
+
+@pytest.mark.slow
+def test_multi_iteration_full_parity(tmp_path):
+    """Byte parity of EVERY iteration-2 and iteration-3 output against the
+    live reference oracle: per-iteration cfg switching (disco_2/disco_3),
+    isUsedEdge edge skipping, ClearEdgeInfo, recursive contained used-read
+    accounting, and ctg/scf-count continuation
+    (reference: src/SimplifyGraph/src/main.cpp:79-93,296-314)."""
+    if not _have_oracle():
+        pytest.skip("reference oracle not built (tools/build_reference.sh)")
+    c = MULTI_ITER_CASE
+    fasta = tmp_path / "reads.fasta"
+    subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "make_testdata.py"), str(fasta),
+         "--genome-len", str(c["glen"]), "--coverage", str(c["cov"]),
+         "--read-len", str(c["rlen"]), "--insert", str(3 * c["rlen"]),
+         "--seed", str(c["seed"]), "--noise-frac", str(c["noise_frac"]),
+         "--islets", str(c["islets"])],
+        check=True, stdout=subprocess.DEVNULL)
+    cfg = tmp_path / "b.cfg"
+    cfg.write_text("MinOverlap4BuildGraph = 40\n")
+
+    subprocess.run(
+        [str(REFBUILD / "buildG"), "-pe", str(fasta), "-f",
+         str(tmp_path / "REF"), "-p", str(cfg), "-t", "1", "-m", "4"],
+        check=True, cwd=tmp_path, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+    subprocess.run(
+        [str(REFBUILD / "fullsimplify"), "-fpi", str(fasta),
+         "-e", str(tmp_path / "REF_0_parGraph.txt"),
+         "-crd", str(tmp_path / "REF_0_containedReads.txt"),
+         "-simPth", str(REFBUILD), "-p", PARAM_FILES[0],
+         "-p2", PARAM_FILES[1], "-p3", PARAM_FILES[2],
+         "-o", str(tmp_path / "REFS"), "-t", "1", "-log", "INFO"],
+        check=True, cwd=tmp_path, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+    # the oracle must actually have reached iteration 3
+    assert (tmp_path / "REFS_phase_scaffold_3.txt").exists()
+
+    from disco_tpu.buildg.pipeline import run_buildg
+    from disco_tpu.simplify.driver import run_fullsimplify
+    run_buildg([str(fasta)], [], str(tmp_path / "MINE"), min_overlap=40,
+               write_par_graph_size=1000)
+    for suffix in ("_0_containedReads.txt", "_0_parGraph.txt"):
+        assert (tmp_path / f"MINE{suffix}").read_bytes() == \
+            (tmp_path / f"REF{suffix}").read_bytes(), f"buildG{suffix}"
+
+    run_fullsimplify([], [], [str(fasta)],
+                     [str(tmp_path / "MINE_0_parGraph.txt")],
+                     [str(tmp_path / "MINE_0_containedReads.txt")],
+                     str(tmp_path / "MINES"), param_files=PARAM_FILES)
+    for name in MULTI_ITER_OUTPUTS:
+        ref = tmp_path / f"REFS_{name}"
+        assert ref.exists(), f"oracle did not produce {name}"
+        got = (tmp_path / f"MINES_{name}").read_bytes()
+        assert got == ref.read_bytes(), f"{name} differs"

@@ -1,0 +1,56 @@
+"""Fused Pallas verify kernel vs the XLA verify path (interpret mode on the
+CPU mesh; the compiled kernel is exercised on hardware by
+tools/bench_verify_paths.py)."""
+import numpy as np
+
+from disco_tpu.io.readstore import ReadStore
+from disco_tpu.overlap.verify import make_packed_all, verify_windows
+from disco_tpu.overlap.fused_kernel import (verify_windows_fused,
+                                            verify_windows_fused_t)
+
+
+def _fixture(seed=0, n_reads=200, P=4096):
+    rng = np.random.default_rng(seed)
+    genome = "".join(rng.choice(list("ACGT"), 2000))
+    seqs = [genome[s:s + 100] for s in rng.integers(0, 1900, n_reads)]
+    store = ReadStore.from_sequences(seqs)
+    packed_all = make_packed_all(store.packed, store.packed_rc)
+    rows1 = rng.integers(0, n_reads, P).astype(np.int32)
+    rows2 = rng.integers(0, 2 * n_reads, P).astype(np.int32)
+    o1 = rng.integers(0, 60, P).astype(np.int32)
+    o2 = rng.integers(0, 60, P).astype(np.int32)
+    n = rng.integers(0, 40, P).astype(np.int32)
+    return store, packed_all, rows1, rows2, o1, o2, n
+
+
+def test_fused_matches_xla_verify():
+    store, packed_all, rows1, rows2, o1, o2, n = _fixture()
+    want = np.asarray(verify_windows(packed_all, rows1, rows2, o1, o2, n,
+                                     n_words=store.n_words))
+    got = np.asarray(verify_windows_fused(
+        packed_all, rows1, rows2, o1, o2, n, n_words=store.n_words,
+        interpret=True))
+    assert (want == got).all()
+    # transposed-table preamble variant
+    got_t = np.asarray(verify_windows_fused_t(
+        np.ascontiguousarray(np.asarray(packed_all).T), rows1, rows2, o1, o2,
+        n, n_words=store.n_words, interpret=True))
+    assert (want == got_t).all()
+    # real-match positives: identical windows must verify
+    got2 = np.asarray(verify_windows_fused(
+        packed_all, rows1, rows1, o1, o1, n, n_words=store.n_words,
+        interpret=True))
+    assert got2.all()
+
+
+def test_fused_non_tile_multiple_and_zero_n():
+    """P not a multiple of the kernel tile + n=0 rows come out True."""
+    store, packed_all, rows1, rows2, o1, o2, n = _fixture(seed=3, P=1500)
+    n[:10] = 0
+    want = np.asarray(verify_windows(packed_all, rows1, rows2, o1, o2, n,
+                                     n_words=store.n_words))
+    got = np.asarray(verify_windows_fused(
+        packed_all, rows1, rows2, o1, o2, n, n_words=store.n_words,
+        interpret=True))
+    assert (want == got).all()
+    assert got[:10].all()

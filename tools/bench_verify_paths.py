@@ -37,13 +37,18 @@ if len(sys.argv) > 2:
     bench.GENOME_LEN = int(sys.argv[2])
 from disco_tpu.overlap.verify import (make_packed_all, verify_windows,
                                       verify_windows_pallas)
-fn = verify_windows if mode == "xla" else verify_windows_pallas
+from disco_tpu.overlap.fused_kernel import (verify_windows_fused,
+                                            verify_windows_fused_t)
+fn = {"xla": verify_windows, "pallas": verify_windows_pallas,
+      "fused": verify_windows_fused, "fused_t": verify_windows_fused_t}[mode]
 with tempfile.TemporaryDirectory() as td:
     fasta = os.path.join(td, "bench.fasta")
     bench.make_dataset(fasta)
     store, r1, rows2, o1, o2, n = bench.candidate_batch(fasta)
-    packed_all = jax.device_put(make_packed_all(store.packed,
-                                                store.packed_rc))
+    packed_np = make_packed_all(store.packed, store.packed_rc)
+    if mode == "fused_t":
+        packed_np = np.ascontiguousarray(np.asarray(packed_np).T)
+    packed_all = jax.device_put(packed_np)
     total = len(r1)
     dev = [jax.device_put(x) for x in (r1, rows2, o1, o2, n)]
     out = fn(packed_all, *dev, n_words=store.n_words)
@@ -112,7 +117,7 @@ def main() -> None:
     args = ap.parse_args()
 
     results = {}
-    for mode in ("xla", "pallas"):
+    for mode in ("xla", "pallas", "fused", "fused_t"):
         cmd = [sys.executable, "-c", _CHILD % {"root": ROOT}, mode]
         if args.genome_len:
             cmd.append(str(args.genome_len))

@@ -41,6 +41,28 @@ def main():
                          "heterogeneity); reads are shuffled together")
     ap.add_argument("--abundance-ratio", type=float, default=0.7,
                     help="per-genome abundance decay in mock mode")
+    ap.add_argument("--error-rate", type=float, default=0.0,
+                    help="per-base substitution probability: error reads "
+                         "form dead-end branches that iteration 1 deletes, "
+                         "leaving unused edges that reload in iterations "
+                         "2-3 (exercises the reference's isUsedEdge skip, "
+                         "src/SimplifyGraph/src/OverlapGraph.cpp:2098-2136)")
+    ap.add_argument("--noise-frac", type=float, default=0.0,
+                    help="fraction of extra pairs drawn from unique random "
+                         "fragments (never overlap anything): keeps the "
+                         "used-read fraction after iteration 1 below "
+                         "maxReadsUsed so the reference's simplification "
+                         "iterations 2-3 run (reference: "
+                         "src/SimplifyGraph/src/main.cpp:79-93,296-314)")
+    ap.add_argument("--islets", type=int, default=0,
+                    help="N tiny independent high-coverage sequence islets "
+                         "(like low-abundance organisms' covered fragments). "
+                         "Dense sub-300bp chains are unprinted (hence "
+                         "unused) in iteration 1 yet survive iteration 2-3 "
+                         "dead-end removal (>=20/>=10 inner reads), giving "
+                         "the later iterations a real non-empty graph")
+    ap.add_argument("--islet-len", type=int, default=290)
+    ap.add_argument("--islet-cov", type=float, default=18.0)
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -65,19 +87,60 @@ def main():
         gidx.append(np.full(n_pairs, g))
         starts_l.append(st)
         inserts_l.append(ins)
+    for i in range(args.islets):
+        seq = BASES[rng.integers(0, 4, size=args.islet_len)].tobytes().decode()
+        genomes.append(seq)
+        n_pairs = max(1, int(args.islet_len * args.islet_cov
+                             / (2 * args.read_len)))
+        # variable short inserts so read start positions spread over the
+        # islet instead of stacking as duplicates
+        ins = rng.integers(args.read_len + 10, args.islet_len + 1,
+                           size=n_pairs)
+        st = rng.integers(0, args.islet_len - ins + 1)
+        gidx.append(np.full(n_pairs, args.n_genomes + i))
+        starts_l.append(st)
+        inserts_l.append(ins)
     gidx = np.concatenate(gidx)
     starts = np.concatenate(starts_l)
     inserts = np.concatenate(inserts_l)
-    if args.n_genomes > 1:
+    noise_frags = []
+    if args.noise_frac > 0:
+        n_noise = int(round(len(gidx) * args.noise_frac
+                            / (1.0 - args.noise_frac)))
+        ins = np.clip(
+            rng.normal(args.insert, args.insert_sd, size=n_noise).astype(int),
+            args.read_len + 10, None)
+        for ln in ins:
+            noise_frags.append(
+                BASES[rng.integers(0, 4, size=ln)].tobytes().decode())
+        # noise pair g marks index into noise_frags via -(i+1)
+        gidx = np.concatenate([gidx, -np.arange(1, n_noise + 1)])
+        starts = np.concatenate([starts, np.zeros(n_noise, dtype=starts.dtype)])
+        inserts = np.concatenate([inserts, ins])
+    if args.n_genomes > 1 or noise_frags or args.islets:
         perm = rng.permutation(len(gidx))
         gidx, starts, inserts = gidx[perm], starts[perm], inserts[perm]
+
+    def add_errors(read):
+        if args.error_rate <= 0:
+            return read
+        arr = np.frombuffer(read.encode(), dtype=np.uint8).copy()
+        hits = np.nonzero(rng.random(len(arr)) < args.error_rate)[0]
+        if len(hits):
+            # substitute with a DIFFERENT base: old code + 1..3 mod 4
+            codes = np.zeros(256, np.uint8)
+            codes[BASES] = np.arange(4)
+            newc = (codes[arr[hits]] + rng.integers(1, 4, len(hits))) % 4
+            arr[hits] = BASES[newc]
+        return arr.tobytes().decode()
 
     with open(args.out, "w") as f:
         rid = 0
         for g, s, ins in zip(gidx, starts, inserts):
-            frag = genomes[g][s:s + ins]
-            r1 = frag[:args.read_len]
-            r2 = revcomp(frag[-args.read_len:])
+            frag = (noise_frags[-g - 1] if g < 0
+                    else genomes[g][s:s + ins])
+            r1 = add_errors(frag[:args.read_len])
+            r2 = add_errors(revcomp(frag[-args.read_len:]))
             if args.single_end:
                 rid += 1
                 f.write(f">r{rid} g={g} pos={s}\n{r1}\n")
