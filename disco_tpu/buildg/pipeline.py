@@ -86,7 +86,12 @@ def run_buildg(paired_files: Sequence[str], single_files: Sequence[str],
     from ..overlap.relation import default_backend
     backend = default_backend()
     n_win = int(store.lengths.sum()) - store.n_reads * (min_overlap - 1)
-    two_pass = backend == "native" or n_win < (1 << 20)
+    # the small-input native shortcut applies only when the backend was
+    # AUTO-selected: an explicit DISCO_TPU_BACKEND=xla|device override must
+    # actually run that backend so it stays an independent cross-check oracle
+    backend_forced = bool(os.environ.get("DISCO_TPU_BACKEND"))
+    two_pass = backend == "native" or (not backend_forced
+                                       and n_win < (1 << 20))
 
     rel = None
     if not two_pass:

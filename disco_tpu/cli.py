@@ -53,7 +53,14 @@ def _mesh(n: int):
     from jax.sharding import Mesh
     devs = jax.devices()
     if len(devs) < n:
-        devs = jax.devices("cpu")
+        cpu = jax.devices("cpu")
+        if devs and devs[0].platform != "cpu" and len(cpu) >= n:
+            import sys
+            print(f"disco-tpu: -n {n}: accelerator platform "
+                  f"'{devs[0].platform}' exposes only {len(devs)} device(s);"
+                  f" falling back to {len(cpu)} virtual CPU devices",
+                  file=sys.stderr)
+        devs = cpu
     if len(devs) < n:
         raise SystemExit(
             f"-n {n}: only {len(devs)} devices visible. For CPU testing set "

@@ -86,7 +86,9 @@ def sharded_relation(store: ReadStore, table: FingerprintTable, mesh: Mesh,
         r2, orient, typ, edge_ok, cont_ok, overflow, _unions = out
         if int(np.asarray(overflow).sum()) != 0:
             raise RuntimeError(
-                "sharded overlap overflow: raise hit_cap/route_cap")
+                "sharded overlap overflow: raise hit_cap/route_cap "
+                "(dist-mem mode: the counter also includes fetch-exchange "
+                "overflow governed by fetch_cap)")
         n = e - s
         r2 = np.asarray(r2)[:n]
         orient = np.asarray(orient)[:n]
@@ -221,7 +223,9 @@ def sharded_relation_pruned(store: ReadStore, table: FingerprintTable,
         r2, orient, typ, edge_ok, cont_ok, overflow, _unions = out
         if int(np.asarray(overflow).sum()) != 0:
             raise RuntimeError(
-                "sharded overlap overflow: raise hit_cap/route_cap")
+                "sharded overlap overflow: raise hit_cap/route_cap "
+                "(dist-mem mode: the counter also includes fetch-exchange "
+                "overflow governed by fetch_cap)")
         m = e - s
         r2 = np.asarray(r2)[:m]
         orient = np.asarray(orient)[:m]

@@ -106,7 +106,18 @@ def sharded_relation_multiproc(store, table, mesh,
             return [packed_all]
         payload_specs = [P()]
 
-    # table shards: process-local device rows of the (n_dev, M) arrays
+    # table shards: process-local device rows of the (n_dev, M) arrays.
+    # The per-process slicing below assumes every process contributes the
+    # same device count — fail loudly instead of mis-slicing otherwise.
+    if n_dev % nproc != 0:
+        raise SystemExit(
+            f"multiproc: {n_dev} devices across {nproc} processes is not an "
+            f"even split; each process must contribute n_dev/nproc devices")
+    if jax.local_device_count() * nproc != n_dev:
+        raise SystemExit(
+            f"multiproc: local device count {jax.local_device_count()} != "
+            f"{n_dev}/{nproc} — uneven per-process device counts are not "
+            "supported")
     dpp = n_dev // nproc
     tslice = slice(pid * dpp, (pid + 1) * dpp)
     table_local = [eng.keys[tslice], eng.read[tslice], eng.orient[tslice],
@@ -135,7 +146,9 @@ def sharded_relation_multiproc(store, table, mesh,
         r2, orient, typ, edge_ok, cont_ok, overflow, _unions = out
         if int(np.asarray(overflow).sum()) != 0:
             raise RuntimeError(
-                "sharded overlap overflow: raise hit_cap/route_cap")
+                "sharded overlap overflow: raise hit_cap/route_cap "
+                "(dist-mem mode: the counter also includes fetch-exchange "
+                "overflow governed by fetch_cap)")
         n = e - s
         r2 = r2[:n]
         orient = orient[:n]

@@ -365,8 +365,10 @@ def device_overlap_dense(packed, packed_all, lengths, starts, tmeta,
         return jnp.zeros(out_cap, jnp.int32).at[idx].set(vals, mode="drop")
 
     data = jnp.stack([scat(word0), scat(r2)])
+    # clamp so a >=2^32 candidate count saturates instead of wrapping to a
+    # small value that would skip the exact host fallback in _device_relation
     meta = jnp.stack([keep.sum().astype(jnp.uint32),
-                      n_cand.astype(jnp.uint32)])
+                      jnp.minimum(n_cand, 0xFFFFFFFF).astype(jnp.uint32)])
     return data, meta
 
 

@@ -23,7 +23,8 @@ def run_fullsimplify(single_files: List[str], pair_files: List[str],
                      contained_files: List[str], prefix: str,
                      param_files: Optional[List[str]] = None,
                      max_iters: int = 3,
-                     sim_path: Optional[str] = None) -> SimplifyDataset:
+                     sim_path: Optional[str] = None,
+                     on_disk_snapshot=None) -> SimplifyDataset:
     """Equivalent of `fullsimplify -fs/-fp/-fpi ... -e ... -crd ... -o ...`.
 
     param_files: up to three cfg paths (iteration 1..3); missing entries
@@ -31,6 +32,9 @@ def run_fullsimplify(single_files: List[str], pair_files: List[str],
     three for parity runs.
     sim_path: `-simPth` — directory whose test/<thresh>.txt tables feed the
     benchmark-specific contig post-processing (streamContigsThresh).
+    on_disk_snapshot: test hook invoked after every periodic in-loop
+    graph checkpoint (reference: DISK_GRAPH_UPDATE, Config.h:53); may
+    raise to simulate a mid-phase kill.
     """
     dataset = SimplifyDataset(single_files, pair_files, inter_pair_files)
     dataset.store_contained_read_info(contained_files)
@@ -57,7 +61,8 @@ def run_fullsimplify(single_files: List[str], pair_files: List[str],
                                    single_files, pair_files,
                                    inter_pair_files, ctg_count, scf_count,
                                    phase_done[iteration - 1],
-                                   sim_path=sim_path)
+                                   sim_path=sim_path,
+                                   on_disk_snapshot=on_disk_snapshot)
         ctg_count = cont["ctg_count"]
         scf_count = cont["scf_count"]
         if not cont["continue"]:
@@ -160,7 +165,8 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
                         inter_pair_files, ctg_count: int = 0,
                         scf_count: int = 0,
                         phase_done: Optional[List[int]] = None,
-                        sim_path: Optional[str] = None) -> dict:
+                        sim_path: Optional[str] = None,
+                        on_disk_snapshot=None) -> dict:
     if phase_done is None:
         phase_done = [0] * 7
     checkpoint(f"Iteration={iteration}")
@@ -174,6 +180,10 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
 
     # --- phase 0: per-partition simplification + load + contract ----------
     graph = FullGraph(dataset, params)
+    # periodic mid-loop re-serialization target (reference:
+    # OverlapGraph.cpp:1183-1188,1282-1289)
+    graph.checkpoint_path = f"{prefix}_CurrGraph_.txt"
+    graph.on_disk_snapshot = on_disk_snapshot
     if phase_done[P_PARSIMPLIFY] == 0:
         with clock("parSimplifyAndLoad"):
             for i, ef in enumerate(edge_files):

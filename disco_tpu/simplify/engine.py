@@ -46,6 +46,14 @@ class FullGraph:
         self.n_edges = 0
         self.flow_computed = False
         self.longest_mean_insert = 0
+        # periodic in-loop checkpointing (reference: DISK_GRAPH_UPDATE
+        # snapshots inside graphPathFindInitial/simplifyGraph,
+        # OverlapGraph.cpp:1183-1188,1282-1289).  The driver sets
+        # checkpoint_path to <prefix>_CurrGraph_.txt; on_disk_snapshot is a
+        # test hook called after each periodic snapshot (it may raise to
+        # simulate a mid-phase kill).
+        self.checkpoint_path: Optional[str] = None
+        self.on_disk_snapshot = None
 
     # ------------------------------------------------------------------
     # insert / remove (reference: OverlapGraph.cpp:69-149)
@@ -675,23 +683,43 @@ class FullGraph:
     # composite phases (reference: graphPathFindInitial :1169-1198,
     # simplifyGraph :1267-1292, simplifyScaffoldGraph :1246-1259)
     # ------------------------------------------------------------------
+    def _periodic_checkpoint(self, prev: float) -> float:
+        """Wall-clock-cadenced mid-loop graph snapshot (reference:
+        OverlapGraph.cpp:1183-1188,1282-1289; cadence Config.h:53).  Returns
+        the new timer origin."""
+        import time
+        now = time.monotonic()
+        if self.checkpoint_path is None or \
+                now - prev < self.p.disk_graph_update:
+            return prev
+        self.print_all_edges(self.checkpoint_path)
+        if self.on_disk_snapshot is not None:
+            self.on_disk_snapshot()
+        return time.monotonic()
+
     def graph_path_find_initial(self) -> None:
+        import time
+        prev = time.monotonic()
         self.remove_low_ovl_edges()
         while True:
             self.remove_dead_end_nodes()
             counter = self.contract_composite_par()
+            prev = self._periodic_checkpoint(prev)
             if counter <= 1000:
                 break
         self.remove_similar_edges()
         self.clip_branches()
 
     def simplify_graph(self) -> None:
+        import time
+        prev = time.monotonic()
         while True:
             counter = self.contract_composite_par()
             counter += self.remove_similar_edges()
             counter += self.remove_dead_end_nodes()
             counter += self.remove_short_branches()
             counter += self.reduce_loops()
+            prev = self._periodic_checkpoint(prev)
             if counter == 0:
                 break
 

@@ -35,6 +35,10 @@ class Params:
     print_unused: bool = False
     print_gfa: bool = False
     print_gfa2: bool = False
+    # periodic in-loop graph checkpoint cadence, seconds (reference:
+    # DISK_GRAPH_UPDATE, src/SimplifyGraph/src/Config.h:53 -- a compile-time
+    # constant there; exposed as the cfg key DiskGraphUpdate here)
+    disk_graph_update: float = 18000.0
 
     _KEYMAP = {
         "minReadsCountInEdgeToBeNotDeadEnd": ("min_reads_not_dead_end", int),
@@ -53,6 +57,7 @@ class Params:
         "MinOverlap4SimplifyGraph": ("min_ovl", int),
         "minSizeToBeShortBranch": ("min_size_short_branch", int),
         "maxReadsUsed": ("max_reads_used", float),
+        "DiskGraphUpdate": ("disk_graph_update", float),
     }
 
     def set_parameters(self, cfg_path: str) -> None:
