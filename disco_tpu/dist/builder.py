@@ -16,16 +16,43 @@ from jax.sharding import Mesh
 
 from ..index.table import FingerprintTable
 from ..io.readstore import ReadStore
-from ..overlap.relation import OverlapRelation, window_codes
+from ..overlap.relation import (OverlapRelation, _xla_rows, window_codes)
 from ..overlap.verify import make_packed_all
 from .overlap_shard import DistMemOverlapEngine, ShardedOverlapEngine
+
+
+def _default_route_cap(chunk: int, n_dev: int) -> int:
+    """Per-peer routing-slot capacity.  Worst case is chunk//n_dev (every
+    query of a device's slice landing on ONE key owner), but shipping that
+    worst case makes each all_to_all n_dev-times larger than the real
+    traffic and sinks weak scaling.  With uniform key hashing the per-peer
+    load is Binomial(chunk/n, 1/n): 4x the mean plus a floor covers any
+    realistic skew, and a chunk that still overflows degrades to the exact
+    host fallback (_chunk_fallback) instead of aborting — so the cap is a
+    performance knob, not a correctness bound."""
+    per_dev = max(chunk // n_dev, 1)
+    cap = min(per_dev, max(4 * per_dev // n_dev, 1024))
+    return max(8, -(-cap // 8) * 8)
+
+
+def _chunk_fallback(store, table, qread, qj, qcode, s, e):
+    """Exact host/XLA recompute of one overflowed superstep chunk
+    (hit/route/fetch cap exceeded).  Emits the chunk's kept rows in the
+    same (window, table-slot) order the SPMD grid compaction uses, so the
+    downstream containment replay and relation sort see identical rows.
+    Skipping the marked-prune here is safe: pruned rows are exactly rows
+    the replays skip (dist.sharded_relation_pruned docstring).
+    The reference has no such path — an overflowing rank aborts; the
+    TPU-native design degrades one chunk to the host instead."""
+    return _xla_rows(store, table, qread[s:e], qj[s:e], qcode[s:e])
 
 
 def sharded_relation(store: ReadStore, table: FingerprintTable, mesh: Mesh,
                      hit_cap: Optional[int] = None,
                      route_cap: Optional[int] = None,
                      budget: int = 1 << 25,
-                     dist_mem: bool = False) -> OverlapRelation:
+                     dist_mem: bool = False,
+                     stats: Optional[dict] = None) -> OverlapRelation:
     """Compute the verified overlap relation on the mesh.
 
     Queries run in fixed-size chunks per superstep so device memory stays
@@ -52,8 +79,7 @@ def sharded_relation(store: ReadStore, table: FingerprintTable, mesh: Mesh,
     chunk = min(chunk, -(-q // n_dev) * n_dev)
     chunk = -(-chunk // n_dev) * n_dev
     if route_cap is None:
-        # every query of a shard's slice could land on one owner shard
-        route_cap = -(-(chunk // n_dev) // 8) * 8
+        route_cap = _default_route_cap(chunk, n_dev)
     if dist_mem:
         from jax.sharding import NamedSharding, PartitionSpec as P
         eng = DistMemOverlapEngine.build(store, table, mesh,
@@ -82,13 +108,25 @@ def sharded_relation(store: ReadStore, table: FingerprintTable, mesh: Mesh,
 
     parts = {k: [] for k in ("r1", "j", "r2", "orient", "typ", "edge", "cont")}
 
+    stats = stats if stats is not None else {}
+    stats.setdefault("fallback_chunks", 0)
+    stats.setdefault("chunks", 0)
+
     def collect(s, e, out):
         r2, orient, typ, edge_ok, cont_ok, overflow, _unions = out
         if int(np.asarray(overflow).sum()) != 0:
-            raise RuntimeError(
-                "sharded overlap overflow: raise hit_cap/route_cap "
-                "(dist-mem mode: the counter also includes fetch-exchange "
-                "overflow governed by fetch_cap)")
+            # hit/route/fetch cap exceeded in this chunk: recompute it
+            # exactly on the host instead of aborting
+            stats["fallback_chunks"] += 1
+            rows = _chunk_fallback(store, table, qread, qj, qcode, s, e)
+            parts["r1"].append(rows["r1"])
+            parts["j"].append(rows["j"])
+            parts["r2"].append(rows["r2"])
+            parts["orient"].append(rows["orient"])
+            parts["typ"].append(rows["typ"])
+            parts["edge"].append(rows["edge_ok"])
+            parts["cont"].append(rows["cont_ok"])
+            return
         n = e - s
         r2 = np.asarray(r2)[:n]
         orient = np.asarray(orient)[:n]
@@ -116,6 +154,7 @@ def sharded_relation(store: ReadStore, table: FingerprintTable, mesh: Mesh,
         qcode_p = np.pad(qcode[s:e], (0, pad),
                          constant_values=np.uint64(0xFFFFFFFFFFFFFFFF))
         out = step(packed_all, lengths, qread_p, qj_p, qcode_p, marked)
+        stats["chunks"] += 1
         if pending is not None:
             collect(*pending)
         pending = (s, e, out)
@@ -145,7 +184,8 @@ def sharded_relation_pruned(store: ReadStore, table: FingerprintTable,
                             route_cap: Optional[int] = None,
                             budget: int = 1 << 25,
                             dist_mem: bool = False,
-                            superread_init: Optional[np.ndarray] = None):
+                            superread_init: Optional[np.ndarray] = None,
+                            stats: Optional[dict] = None):
     """Chunked sharded relation WITH in-loop containment marking: after
     each superstep the host advances the (order-exact) containment replay
     and feeds the updated contained-read mask into later supersteps, whose
@@ -176,7 +216,7 @@ def sharded_relation_pruned(store: ReadStore, table: FingerprintTable,
     chunk = min(chunk, -(-q // n_dev) * n_dev)
     chunk = -(-chunk // n_dev) * n_dev
     if route_cap is None:
-        route_cap = -(-(chunk // n_dev) // 8) * 8
+        route_cap = _default_route_cap(chunk, n_dev)
 
     if dist_mem:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -219,13 +259,29 @@ def sharded_relation_pruned(store: ReadStore, table: FingerprintTable,
     parts = {k2: [] for k2 in ("r1", "j", "r2", "orient", "typ", "edge",
                                "cont")}
 
+    stats = stats if stats is not None else {}
+    stats.setdefault("fallback_chunks", 0)
+    stats.setdefault("chunks", 0)
+
     def collect(s, e, out):
         r2, orient, typ, edge_ok, cont_ok, overflow, _unions = out
         if int(np.asarray(overflow).sum()) != 0:
-            raise RuntimeError(
-                "sharded overlap overflow: raise hit_cap/route_cap "
-                "(dist-mem mode: the counter also includes fetch-exchange "
-                "overflow governed by fetch_cap)")
+            # cap exceeded: exact host recompute of this chunk (rows in
+            # the same order), then the same containment-replay advance
+            stats["fallback_chunks"] += 1
+            rows = _chunk_fallback(store, table, qread, qj, qcode, s, e)
+            cc = rows["cont_ok"]
+            parts["r1"].append(rows["r1"])
+            parts["j"].append(rows["j"])
+            parts["r2"].append(rows["r2"])
+            parts["orient"].append(rows["orient"])
+            parts["typ"].append(rows["typ"])
+            parts["edge"].append(rows["edge_ok"])
+            parts["cont"].append(cc)
+            replay.containment_step(superread, cont_lines, store, table.k,
+                                    rows["r1"][cc], rows["j"][cc],
+                                    rows["r2"][cc], rows["orient"][cc])
+            return
         m = e - s
         r2 = np.asarray(r2)[:m]
         orient = np.asarray(orient)[:m]
@@ -260,6 +316,7 @@ def sharded_relation_pruned(store: ReadStore, table: FingerprintTable,
         qcode_p = np.pad(qcode[s:e], (0, pad),
                          constant_values=np.uint64(0xFFFFFFFFFFFFFFFF))
         out = step(lengths, qread_p, qj_p, qcode_p, marked_now())
+        stats["chunks"] += 1
         if pending is not None:
             collect(*pending)
         pending = (s, e, out)
@@ -289,7 +346,10 @@ def run_buildg_sharded(paired_files: Sequence[str],
                        single_files: Sequence[str], prefix: str,
                        mesh: Mesh, min_overlap: int = 30,
                        write_par_graph_size: int = 1000,
-                       dist_mem: bool = False):
+                       dist_mem: bool = False,
+                       budget: int = 1 << 25,
+                       route_cap: Optional[int] = None,
+                       stats: Optional[dict] = None):
     """Distributed buildG: same outputs as buildg.pipeline.run_buildg, with
     the overlap phase executed over the mesh.  dist_mem selects the
     partitioned-payload engine (buildG-MPIRMA equivalent, CLI -rma)."""
@@ -313,8 +373,8 @@ def run_buildg_sharded(paired_files: Sequence[str],
         # restart, src/BuildGraphMPI/src/OverlapGraph.cpp:448-509)
         superread_init = load_contained_reads(cont_path, store)
     rel, superread, cont_lines = sharded_relation_pruned(
-        store, table, mesh, dist_mem=dist_mem,
-        superread_init=superread_init)
+        store, table, mesh, dist_mem=dist_mem, budget=budget,
+        route_cap=route_cap, superread_init=superread_init, stats=stats)
     if superread_init is None:
         with open(cont_path, "w") as f:
             for ln in cont_lines:

@@ -241,6 +241,46 @@ def run_buildg_multiproc(paired_files: Sequence[str],
     return store, rel, superread
 
 
+def first_slurm_host(nodelist: str) -> str:
+    """First hostname of a SLURM compact nodelist: 'tpu[003-006,010],gpu7'
+    -> 'tpu003'.  Only the first element is needed (the coordinator)."""
+    head = nodelist.split(",")[0]
+    if "[" not in head:
+        return head
+    prefix, _, spec = head.partition("[")
+    first = spec.rstrip("]").split(",")[0].split("-")[0]
+    return prefix + first
+
+
+def derive_cluster_env(env=None):
+    """Derive (coordinator, num_processes, process_id) from scheduler
+    environment variables when they were not given explicitly — the
+    equivalent of the reference's scheduler launch wrappers
+    (runDisco-MPI-SLURM.sh:214 `srun`, runDisco-MPI-ALPS.sh `aprun`).
+
+    Recognized: SLURM (srun: SLURM_PROCID/SLURM_NTASKS/SLURM_NODELIST),
+    OpenMPI mpirun (OMPI_COMM_WORLD_RANK/_SIZE + coordinator from
+    DISCO_TPU_COORDINATOR).  Returns (None, None, None) when nothing is
+    recognized — on TPU pods jax.distributed.initialize() then derives
+    everything from the TPU runtime's own environment."""
+    env = os.environ if env is None else env
+    port = env.get("DISCO_TPU_PORT", "8476")
+    if "SLURM_PROCID" in env:
+        n = int(env.get("SLURM_STEP_NUM_TASKS", env.get("SLURM_NTASKS", 1)))
+        pid = int(env["SLURM_PROCID"])
+        nodelist = env.get("SLURM_STEP_NODELIST",
+                           env.get("SLURM_JOB_NODELIST", ""))
+        coord = env.get("DISCO_TPU_COORDINATOR")
+        if coord is None and nodelist:
+            coord = f"{first_slurm_host(nodelist)}:{port}"
+        return coord, n, pid
+    if "OMPI_COMM_WORLD_RANK" in env:
+        coord = env.get("DISCO_TPU_COORDINATOR")
+        return (coord, int(env["OMPI_COMM_WORLD_SIZE"]),
+                int(env["OMPI_COMM_WORLD_RANK"]))
+    return None, None, None
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="disco-tpu-multiproc",
@@ -273,9 +313,12 @@ def main(argv=None) -> int:
         # a site hook may pin an accelerator platform at import time,
         # overriding the env var — override it back (testing mode)
         jax.config.update("jax_platforms", "cpu")
+    coord, nproc, pid = args.coordinator, args.num_processes, args.process_id
+    if coord is None and nproc is None and pid is None:
+        # scheduler-launched (srun/mpirun) or TPU pod: derive from env
+        coord, nproc, pid = derive_cluster_env()
     jax.distributed.initialize(
-        coordinator_address=args.coordinator,
-        num_processes=args.num_processes, process_id=args.process_id)
+        coordinator_address=coord, num_processes=nproc, process_id=pid)
 
     run_buildg_multiproc(
         args.pe.split(",") if args.pe else [],

@@ -82,6 +82,10 @@ class ShardedOverlapEngine:
     # (reference: src/BuildGraph/src/OverlapGraph.cpp:435-436); safe with
     # stale marks (pruning lags, never wrong), see dist.builder
     prune_marked: bool = False
+    # verification kernel choice for the mesh's platform: the fused Pallas
+    # pass on TPU meshes, the XLA roll-align path elsewhere (Pallas cannot
+    # compile for the CPU backend) — see overlap.device._dual_check
+    fused_verify: bool = False
 
     @classmethod
     def build(cls, store: ReadStore, table: FingerprintTable, mesh: Mesh,
@@ -103,10 +107,12 @@ class ShardedOverlapEngine:
             orient[s, :m] = table.orient[sel]
             typ[s, :m] = table.typ[sel]
             sizes[s] = m
+        fused = mesh.devices.flat[0].platform == "tpu"
         return cls(mesh=mesh, n_words=store.n_words, k=table.k,
                    hit_cap=hit_cap, route_cap=route_cap,
                    keys=keys, read=read, orient=orient, typ=typ,
-                   sizes=sizes, prune_marked=prune_marked)
+                   sizes=sizes, prune_marked=prune_marked,
+                   fused_verify=fused)
 
     # ------------------------------------------------------------------
     def _superstep(self, packed_all, lengths, qread, qj, qcode, marked,
@@ -121,8 +127,12 @@ class ShardedOverlapEngine:
         # 1. union of marked bitmaps (replaces async gossip)
         marked_union = jax.lax.all_gather(marked, AXIS, tiled=True)
 
-        # 2. route query codes to their owner shards
+        # 2. route query codes to their owner shards; PAD windows
+        #    (qj < 0, the chunk-tail filler) route nowhere — otherwise they
+        #    all share the 0xFF..FF pad code's owner and flood one peer's
+        #    route slots on the final partial chunk
         owner = (qcode % jnp.uint64(n_shards)).astype(jnp.int32)
+        owner = jnp.where(qj < 0, n_shards, owner)
         slots, overflow = _bin_by_owner(owner, n_shards, route_cap)
         slot_valid = slots >= 0
         q_idx = jnp.clip(slots, 0)
@@ -183,7 +193,7 @@ class ShardedOverlapEngine:
         #    src/BuildGraph/src/OverlapGraph.cpp:517-595)
         edge_ok, cont_ok = candidate_checks(
             packed_all, lengths, qread, qj, r2, orient, valid,
-            k=self.k, n_words=self.n_words)
+            k=self.k, n_words=self.n_words, fused=self.fused_verify)
         return (r2, orient, typ, edge_ok, cont_ok, overflow[None],
                 marked_union[None, :])
 
@@ -268,7 +278,8 @@ class DistMemOverlapEngine(ShardedOverlapEngine):
                    hit_cap=base.hit_cap, route_cap=base.route_cap,
                    keys=base.keys, read=base.read, orient=base.orient,
                    typ=base.typ, sizes=base.sizes, fetch_cap=fetch_cap,
-                   prune_marked=prune_marked)
+                   prune_marked=prune_marked,
+                   fused_verify=base.fused_verify)
 
     @staticmethod
     def shard_payload(store: ReadStore, n_shards: int):
@@ -328,6 +339,7 @@ class DistMemOverlapEngine(ShardedOverlapEngine):
         marked_union = jax.lax.all_gather(marked, AXIS, tiled=True)
 
         owner = (qcode % jnp.uint64(n_shards)).astype(jnp.int32)
+        owner = jnp.where(qj < 0, n_shards, owner)  # pads route nowhere
         slots, overflow = _bin_by_owner(owner, n_shards, route_cap)
         slot_valid = slots >= 0
         q_idx = jnp.clip(slots, 0)
@@ -380,7 +392,7 @@ class DistMemOverlapEngine(ShardedOverlapEngine):
         use_rc = jnp.asarray(_USE_RC)[orient]
         rows2_id = jnp.where(use_rc, r2 + n_reads, r2)
         rows2_id = jnp.where(valid, rows2_id, -1)  # invalid slot: no fetch
-        q_ids = qread.astype(jnp.int32)
+        q_ids = jnp.where(qj < 0, -1, qread.astype(jnp.int32))  # pads: none
         if self.prune_marked:
             q_ids = jnp.where(marked_union[qread] == 0, q_ids, -1)
         all_ids = jnp.concatenate([q_ids, rows2_id.reshape(-1)])
@@ -392,7 +404,8 @@ class DistMemOverlapEngine(ShardedOverlapEngine):
         rows2 = fetched[q_local:].reshape(q_local, hit_cap, -1)
 
         edge_ok, cont_ok = candidate_checks_rows(
-            rows1, rows2, lengths, qread, qj, r2, orient, valid, k=self.k)
+            rows1, rows2, lengths, qread, qj, r2, orient, valid, k=self.k,
+            fused=self.fused_verify)
         return (r2, orient, typ, edge_ok, cont_ok, overflow[None],
                 marked_union[None, :])
 

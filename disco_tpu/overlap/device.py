@@ -49,7 +49,7 @@ class DeviceOverlapResult(NamedTuple):
 
 
 def candidate_checks(packed_all, lengths, qread, qj, r2, orient, valid,
-                     *, k, n_words):
+                     *, k, n_words, fused=None):
     """Shared geometry + verification for a (Q, H) candidate grid
     (reference: OverlapGraph.cpp:517-595).  Returns (edge_ok, cont_ok).
     Used by the single-chip pipeline below and the sharded superstep
@@ -88,21 +88,55 @@ def candidate_checks(packed_all, lengths, qread, qj, r2, orient, valid,
     rows1 = qread_f
     rows2 = (r2f + jnp.where(use_rc, n_reads, 0)).astype(jnp.int32)
 
-    # whole-row gathers ONCE, then roll-aligned vector compares per check —
-    # the per-(element, word) dynamic gathers this replaces run ~100x
-    # slower on TPU (see overlap/verify.py::verify_windows)
-    from .verify import _masked_equal, align_window
+    # whole-row gathers ONCE, then both window checks.  On TPU the checks
+    # run as ONE fused Pallas pass (align + funnel + masked compare with no
+    # HBM intermediates, fused_kernel._dual_kernel); elsewhere (CPU mesh
+    # tests) the XLA roll-align path is used — outputs are identical
+    # (tests/test_fused_kernel.py).
     blk1 = packed_all[rows1]
     blk2 = packed_all[rows2]
+    edge_ok, cont_ok = _dual_check(blk1, blk2, e_o1, e_o2, e_n, c_o1, c_n,
+                                   n_words=n_words, fused=fused)
+    edge_ok &= e_valid
+    cont_ok &= c_valid
+    return edge_ok.reshape(q, h), cont_ok.reshape(q, h)
+
+
+def _dual_check(blk1, blk2, e_o1, e_o2, e_n, c_o1, c_n, *, n_words,
+                fused=None):
+    """Edge + containment window compares over gathered row blocks
+    (P, W+1).  Dispatches to the fused Pallas kernel on TPU.  `fused`
+    overrides the default-backend autodetection — REQUIRED when the
+    computation targets a mesh whose platform differs from the default
+    backend (e.g. the virtual CPU mesh while a TPU plugin is registered:
+    Pallas on the CPU backend only runs in interpret mode)."""
+    import jax as _jax
+    if fused is None:
+        fused = _jax.default_backend() == "tpu"
+    if fused:
+        from .fused_kernel import TILE, fused_compare_dual
+        p = blk1.shape[0]
+        pad = (-p) % TILE
+        if pad:
+            zr = jnp.zeros((pad, blk1.shape[1]), blk1.dtype)
+            blk1 = jnp.concatenate([blk1, zr])
+            blk2 = jnp.concatenate([blk2, zr])
+            z = jnp.zeros(pad, jnp.int32)
+            e_o1, e_o2, e_n, c_o1, c_n = (
+                jnp.concatenate([x.astype(jnp.int32), z])
+                for x in (e_o1, e_o2, e_n, c_o1, c_n))
+        edge_ok, cont_ok = fused_compare_dual(
+            blk1.T, blk2.T, e_o1, e_o2, e_n, c_o1, c_n)
+        return edge_ok[:p], cont_ok[:p]
+    from .verify import _masked_equal, align_window
 
     def check(o1, o2, nl):
         a = align_window(blk1, o1)
         b = align_window(blk2, o2)
         return _masked_equal(a, b, nl, n_words)
 
-    edge_ok = check(e_o1, e_o2, e_n) & e_valid
-    cont_ok = check(c_o1, jnp.zeros_like(c_o1), c_n) & c_valid
-    return edge_ok.reshape(q, h), cont_ok.reshape(q, h)
+    return (check(e_o1, e_o2, e_n),
+            check(c_o1, jnp.zeros_like(c_o1), c_n))
 
 
 @functools.partial(jax.jit,
@@ -155,7 +189,7 @@ def device_overlap(packed, packed_all, lengths, starts, keys, tread, torient,
 
 
 def candidate_checks_rows(rows1, rows2, lengths, qread, qj, r2, orient,
-                          valid, *, k):
+                          valid, *, k, fused=None):
     """`candidate_checks` over pre-fetched packed rows instead of a resident
     (2N, W+1) store: rows1 (Q, W+1) is read1's forward row, rows2
     (Q, H, W+1) is the candidate's forward-or-rc row (the caller resolves
@@ -189,17 +223,14 @@ def candidate_checks_rows(rows1, rows2, lengths, qread, qj, r2, orient,
     n_words = rows1.shape[-1] - 1
     wp = rows1.shape[-1]
     q, h = r2.shape
-    from .verify import _masked_equal, align_window
     blk1 = jnp.broadcast_to(rows1[:, None, :], (q, h, wp)).reshape(-1, wp)
     blk2 = rows2.reshape(-1, wp)
-
-    def check(o1, o2, nl):
-        a = align_window(blk1, o1.reshape(-1))
-        b = align_window(blk2, o2.reshape(-1))
-        return _masked_equal(a, b, nl.reshape(-1), n_words).reshape(q, h)
-
-    edge_ok = check(e_o1, e_o2, e_n) & e_valid
-    cont_ok = check(c_o1, jnp.zeros_like(c_o1), c_n) & c_valid
+    cz = jnp.broadcast_to(c_n, r2.shape)
+    edge_ok, cont_ok = _dual_check(
+        blk1, blk2, e_o1.reshape(-1), e_o2.reshape(-1), e_n.reshape(-1),
+        c_o1.reshape(-1), cz.reshape(-1), n_words=n_words, fused=fused)
+    edge_ok = edge_ok.reshape(q, h) & e_valid
+    cont_ok = cont_ok.reshape(q, h) & c_valid
     return edge_ok, cont_ok
 
 

@@ -59,8 +59,7 @@ def _fused_kernel(a_ref, b_ref, s_ref, out_ref):
     int32 scalar rows [d1, bit1, d2, bit2, n, 0, 0, 0]; out (1, TILE) int32
     hit mask."""
     wp = a_ref.shape[0]
-    i32, u32 = jnp.int32, jnp.uint32
-    full = u32(0xFFFFFFFF)
+    u32 = jnp.uint32
     d1 = s_ref[0:1, :]
     bit1 = pltpu.bitcast(s_ref[1:2, :], u32)
     d2 = s_ref[2:3, :]
@@ -69,16 +68,78 @@ def _fused_kernel(a_ref, b_ref, s_ref, out_ref):
 
     a = _align(a_ref[:], d1, bit1, wp)
     b = _align(b_ref[:], d2, bit2, wp)
-
     # masked compare over every word row at once; word index = sublane id
-    wi = jax.lax.broadcasted_iota(i32, (wp, a.shape[1]), dimension=0)
-    rem = n - i32(16) * wi  # (wp, T) via broadcast of (1, T)
+    out_ref[:] = _masked_cmp(a, b, n, wp, a.shape[1])
+
+
+def _masked_cmp(a, b, n, wp, width):
+    i32, u32 = jnp.int32, jnp.uint32
+    full = u32(0xFFFFFFFF)
+    wi = jax.lax.broadcasted_iota(i32, (wp, width), dimension=0)
+    rem = n - i32(16) * wi
     shift = pltpu.bitcast(
         i32(2) * (i32(16) - jnp.clip(rem, i32(1), i32(16))), u32)
     mask = jnp.where(rem >= i32(16), full,
                      jnp.where(rem <= i32(0), u32(0), full << shift))
     okw = jnp.where(((a ^ b) & mask) == u32(0), i32(1), i32(0))
-    out_ref[:] = jnp.min(okw, axis=0, keepdims=True)
+    return jnp.min(okw, axis=0, keepdims=True)
+
+
+def _dual_kernel(a_ref, b_ref, s_ref, out_ref):
+    """Both overlap checks for one candidate batch in one VMEM pass: the
+    suffix-prefix EDGE window (a@e_o1 vs b@e_o2, length ne) and the
+    CONTAINMENT window (a@c_o1 vs b@0, length nc — read2's whole string,
+    so b needs no alignment).  Blocks: a/b (wp, TILE) uint32; s (8, TILE)
+    int32 rows [d1e, bit1e, d2e, bit2e, ne, d1c, bit1c, nc]; out (2, TILE)
+    int32 [edge_ok, cont_ok]."""
+    wp = a_ref.shape[0]
+    u32 = jnp.uint32
+    a = a_ref[:]
+    b = b_ref[:]
+    d1e = s_ref[0:1, :]
+    b1e = pltpu.bitcast(s_ref[1:2, :], u32)
+    d2e = s_ref[2:3, :]
+    b2e = pltpu.bitcast(s_ref[3:4, :], u32)
+    ne = s_ref[4:5, :]
+    d1c = s_ref[5:6, :]
+    b1c = pltpu.bitcast(s_ref[6:7, :], u32)
+    nc = s_ref[7:8, :]
+    width = a.shape[1]
+    oke = _masked_cmp(_align(a, d1e, b1e, wp), _align(b, d2e, b2e, wp),
+                      ne, wp, width)
+    okc = _masked_cmp(_align(a, d1c, b1c, wp), b, nc, wp, width)
+    out_ref[:] = jnp.concatenate([oke, okc], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_compare_dual(a, b, e_o1, e_o2, e_n, c_o1, c_n, *, interpret=False):
+    """a, b: (Wp, P) uint32 unaligned row columns; e_*/c_*: (P,) int32
+    window geometry (lengths 0 => True).  Returns (edge_ok, cont_ok)
+    bool (P,) each."""
+    wp, p = a.shape
+    assert p % TILE == 0, p
+    d1e, b1e = _offsets(e_o1)
+    d2e, b2e = _offsets(e_o2)
+    d1c, b1c = _offsets(c_o1)
+    scal = jnp.stack([d1e, b1e, d2e, b2e, e_n.astype(jnp.int32),
+                      d1c, b1c, c_n.astype(jnp.int32)]).astype(jnp.int32)
+
+    def _data(i):
+        return (jnp.int32(0), i)
+
+    out = pl.pallas_call(
+        _dual_kernel,
+        out_shape=jax.ShapeDtypeStruct((2, p), jnp.int32),
+        grid=(p // TILE,),
+        in_specs=[
+            pl.BlockSpec((wp, TILE), _data, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, TILE), _data, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE), _data, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, TILE), _data, memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a, b, scal)
+    return out[0].astype(jnp.bool_), out[1].astype(jnp.bool_)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -43,6 +43,38 @@ def test_fused_matches_xla_verify():
     assert got2.all()
 
 
+def test_dual_kernel_matches_xla_checks():
+    """fused_compare_dual (edge + containment in one pass) vs the XLA
+    align/compare path used on non-TPU backends (device._dual_check)."""
+    import jax.numpy as jnp
+
+    from disco_tpu.overlap.fused_kernel import fused_compare_dual
+    from disco_tpu.overlap.verify import _masked_equal, align_window
+
+    store, packed_all, rows1, rows2, e_o1, e_o2, e_n = _fixture(seed=5)
+    rng = np.random.default_rng(6)
+    P = len(rows1)
+    c_o1 = rng.integers(0, 60, P).astype(np.int32)
+    c_n = rng.integers(0, 40, P).astype(np.int32)
+    blk1 = jnp.asarray(packed_all)[rows1]
+    blk2 = jnp.asarray(packed_all)[rows2]
+
+    def xla_check(o1, o2, nl):
+        return np.asarray(_masked_equal(
+            align_window(blk1, jnp.asarray(o1)),
+            align_window(blk2, jnp.asarray(o2)), jnp.asarray(nl),
+            store.n_words))
+
+    want_e = xla_check(e_o1, e_o2, e_n)
+    want_c = xla_check(c_o1, np.zeros_like(c_o1), c_n)
+    got_e, got_c = fused_compare_dual(
+        jnp.asarray(blk1).T, jnp.asarray(blk2).T,
+        jnp.asarray(e_o1), jnp.asarray(e_o2), jnp.asarray(e_n),
+        jnp.asarray(c_o1), jnp.asarray(c_n), interpret=True)
+    assert (np.asarray(got_e) == want_e).all()
+    assert (np.asarray(got_c) == want_c).all()
+
+
 def test_fused_non_tile_multiple_and_zero_n():
     """P not a multiple of the kernel tile + n=0 rows come out True."""
     store, packed_all, rows1, rows2, o1, o2, n = _fixture(seed=3, P=1500)
