@@ -144,15 +144,16 @@ def run_buildg(paired_files: Sequence[str], single_files: Sequence[str],
             from .. import native
             n = store.n_reads
             contained = (superread[1:n + 1] != 0).astype(np.uint8)
-            edge = native.overlap_relation_mode(
+            # slim grouped export: ~7 B/row (starts + int16 j + 1-based r2
+            # + orient) instead of the 16 B/row generic columns, with the
+            # native hit blocks freed during export — the edge-row arrays
+            # are the largest allocation of the whole build at scale
+            starts, ej, er2, eo = native.overlap_relation_mode2_grouped(
                 store.packed, store.packed_rc, store.lengths, table.keys,
-                table.read, table.orient, table.typ, table.k, mode=2,
-                contained=contained)
-            starts = np.searchsorted(
-                edge["r1"], np.arange(0, n + 1)).astype(np.int64)
+                table.read, table.orient, table.typ, table.k, contained)
+            del contained
             par_blob, start_blob, _ = replay.graph_replay_from_groups(
-                store, table.k, starts, edge["j"],
-                (edge["r2"] + 1).astype(np.int32), edge["orient"],
+                store, table.k, starts, ej, er2, eo,
                 superread, write_par_graph_size,
                 start_read=start_read, premarked=premarked)
         else:

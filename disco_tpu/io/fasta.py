@@ -28,6 +28,18 @@ def read_bytes(path: str) -> bytes:
         return f.read()
 
 
+def scan_records(path: str):
+    """Native record scan -> (seq_blob uint8, (n+1,) offsets).  Plain files
+    use the streaming mmap scanner (no in-memory raw copy, exact-size
+    blob); gzip falls back to the in-memory scan."""
+    from .. import native
+    if not path.endswith(".gz"):
+        res = native.seq_scan_path(path)
+        if res is not None:
+            return res
+    return native.seq_scan(read_bytes(path))
+
+
 def read_records(path: str) -> Iterator[str]:
     """Yield upper-cased sequence strings, one per record, in file order."""
     with _open(path) as f:

@@ -67,7 +67,7 @@ class ReadStore:
             for i, path in enumerate(group):
                 start_id = n_kept
                 start_findx = file_index
-                blob, offs = native.seq_scan(fasta.read_bytes(path))
+                blob, offs = fasta.scan_records(path)
                 n_rec = len(offs) - 1
                 keep = native.qc_test_reads(blob, offs, min_overlap)
                 bs = cls.READ_TASK_BLOCK + 1

@@ -90,9 +90,10 @@ def _replay_lib():
             p32 = ctypes.POINTER(ctypes.c_int32)
             pi8 = ctypes.POINTER(ctypes.c_int8)
             pu8 = ctypes.POINTER(ctypes.c_uint8)
+            p16 = ctypes.POINTER(ctypes.c_int16)
             lib.graph_replay.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, p64,
-                p32, p32, pi8, p32, p64, pu8, ctypes.c_int64, p64,
+                p16, p32, pi8, p32, p64, pu8, ctypes.c_int64, p64,
                 ctypes.POINTER(ctypes.c_void_p), p64,
                 ctypes.POINTER(ctypes.c_void_p), p64]
             lib.graph_replay.restype = ctypes.c_void_p
@@ -103,7 +104,7 @@ def _replay_lib():
             lib.edge_group_count.restype = ctypes.c_int64
             lib.edge_group_fill.argtypes = [p32, p32, p32, pi8, pu8, pu8,
                                             ctypes.c_int64, ctypes.c_int64,
-                                            p32, p32, pi8, p64]
+                                            p16, p32, pi8, p64]
             lib.edge_group_fill.restype = None
             _REPLAY = lib
     return _REPLAY
@@ -117,7 +118,7 @@ def graph_replay(n: int, k: int, wpgs: int, starts, ej, er2, eo, lens, fidx,
     offset after each chunk flush (the valid kill/restart points)."""
     lib = _replay_lib()
     starts = np.ascontiguousarray(starts, np.int64)
-    ej = np.ascontiguousarray(ej, np.int32)
+    ej = np.ascontiguousarray(ej, np.int16)
     er2 = np.ascontiguousarray(er2, np.int32)
     eo = np.ascontiguousarray(eo, np.int8)
     lens = np.ascontiguousarray(lens, np.int32)
@@ -130,7 +131,7 @@ def graph_replay(n: int, k: int, wpgs: int, starts, ej, er2, eo, lens, fidx,
     nch = ctypes.c_int64(0)
     ptr = lib.graph_replay(
         n, k, wpgs, starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        ej.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ej.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         er2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         eo.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -170,7 +171,7 @@ def edge_hit_groups(r1, j, r2, orient, edge_ok, contained, n: int):
     total = lib.edge_group_count(
         r1.ctypes.data_as(p32), r2.ctypes.data_as(p32),
         edge_ok.ctypes.data_as(pu8), contained.ctypes.data_as(pu8), nrows)
-    out_j = np.empty(total, np.int32)
+    out_j = np.empty(total, np.int16)
     out_r2 = np.empty(total, np.int32)
     out_eo = np.empty(total, np.int8)
     starts = np.empty(n + 1, np.int64)
@@ -178,7 +179,8 @@ def edge_hit_groups(r1, j, r2, orient, edge_ok, contained, n: int):
         r1.ctypes.data_as(p32), j.ctypes.data_as(p32),
         r2.ctypes.data_as(p32), orient.ctypes.data_as(pi8),
         edge_ok.ctypes.data_as(pu8), contained.ctypes.data_as(pu8),
-        nrows, n, out_j.ctypes.data_as(p32), out_r2.ctypes.data_as(p32),
+        nrows, n, out_j.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        out_r2.ctypes.data_as(p32),
         out_eo.ctypes.data_as(pi8), starts.ctypes.data_as(p64))
     return starts, out_j, out_r2, out_eo
 
@@ -256,6 +258,13 @@ def _readqc_lib():
             lib.pack_reads_ordered.restype = ctypes.c_int64
             lib.seq_scan_count.argtypes = [ctypes.c_char_p, ctypes.c_int64]
             lib.seq_scan_count.restype = ctypes.c_int64
+            lib.seq_scan_open.argtypes = [ctypes.c_char_p, p64, p64]
+            lib.seq_scan_open.restype = ctypes.c_void_p
+            lib.seq_scan_extract.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_char_p, p64]
+            lib.seq_scan_extract.restype = ctypes.c_int64
+            lib.seq_scan_offsets_close.argtypes = [ctypes.c_void_p, p64]
+            lib.seq_scan_offsets_close.restype = None
             lib.seq_scan_fill.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                           ctypes.c_char_p, p64]
             lib.seq_scan_fill.restype = ctypes.c_int64
@@ -310,6 +319,48 @@ def _as_char_p(x):
     return x.ctypes.data_as(ctypes.c_char_p)
 
 
+def seq_scan_path(path: str):
+    """Streaming scan of an UNCOMPRESSED FASTA/FASTQ file: the raw bytes
+    stay a file-backed mapping (released between the counting and fill
+    passes) and the sequence blob is allocated at its exact size — the
+    in-memory raw buffer + worst-case output buffer of `seq_scan` was the
+    largest ingest transient at metagenome scale.  Returns
+    (seq_blob uint8, (n+1,) offsets) exactly like seq_scan; returns None
+    if the file cannot be scanned this way (caller falls back)."""
+    lib = _readqc_lib()
+    n = ctypes.c_int64(0)
+    tot = ctypes.c_int64(0)
+    h = lib.seq_scan_open(os.fsencode(path), ctypes.byref(n),
+                          ctypes.byref(tot))
+    if not h:
+        return None
+    offsets = np.zeros(n.value + 1, np.int64)
+    buf = np.empty(max(tot.value, 1), np.uint8)
+    w = lib.seq_scan_extract(
+        h, _as_char_p(buf),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    assert w == tot.value, (w, tot.value)
+    return buf, offsets
+
+
+def seq_scan_lengths(path: str):
+    """Lengths-only streaming scan: returns the (n+1,) sequence-length
+    boundary offsets without materializing any sequence bytes (the
+    simplify DataSet loads read lengths only, reference:
+    src/SimplifyGraph/src/DataSet.cpp).  None if not scannable."""
+    lib = _readqc_lib()
+    n = ctypes.c_int64(0)
+    tot = ctypes.c_int64(0)
+    h = lib.seq_scan_open(os.fsencode(path), ctypes.byref(n),
+                          ctypes.byref(tot))
+    if not h:
+        return None
+    offsets = np.zeros(n.value + 1, np.int64)
+    lib.seq_scan_offsets_close(
+        h, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return offsets
+
+
 def seq_scan(raw):
     """Parse a FASTA/FASTQ byte buffer (bytes or uint8 ndarray) into
     (seq_blob, offsets): upper-cased concatenated record sequences
@@ -357,6 +408,10 @@ def _overlap_lib():
             lib.overlap_relation_export.argtypes = [
                 ctypes.c_void_p, p32, p32, p32, pi8, pi8, pu8, pu8]
             lib.overlap_relation_export.restype = None
+            p16 = ctypes.POINTER(ctypes.c_int16)
+            lib.overlap_relation_export_grouped.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, p64, p16, p32, pi8]
+            lib.overlap_relation_export_grouped.restype = None
             _OVERLAP = lib
     return _OVERLAP
 
@@ -465,6 +520,53 @@ def overlap_relation_mode(packed: np.ndarray, packed_rc: np.ndarray,
     out["cont_ok"] = out["cont_ok"].astype(bool)
     out["edge_ok"] = out["edge_ok"].astype(bool)
     return out
+
+
+def overlap_relation_mode2_grouped(packed: np.ndarray,
+                                   packed_rc: np.ndarray,
+                                   lengths: np.ndarray, keys: np.ndarray,
+                                   tread: np.ndarray, torient: np.ndarray,
+                                   ttyp: np.ndarray, k: int,
+                                   contained: np.ndarray):
+    """Edge-only (mode=2) relation pass with the slim grouped export:
+    returns (starts int64 (n+1), j int16, r2 int32 1-based, orient int8) —
+    exactly the traversal replay's inputs, ~7 B/row instead of the 16 B/row
+    generic column set, with the native hit blocks freed during export."""
+    lib = _overlap_lib()
+    n, row_words = packed.shape
+    m = len(keys)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    pu32 = ctypes.POINTER(ctypes.c_uint32)
+    pu64 = ctypes.POINTER(ctypes.c_uint64)
+    pi8 = ctypes.POINTER(ctypes.c_int8)
+    pu8 = ctypes.POINTER(ctypes.c_uint8)
+    p16 = ctypes.POINTER(ctypes.c_int16)
+    packed = np.ascontiguousarray(packed, np.uint32)
+    packed_rc = np.ascontiguousarray(packed_rc, np.uint32)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    keys = np.ascontiguousarray(keys, np.uint64)
+    tread = np.ascontiguousarray(tread, np.int32)
+    torient = np.ascontiguousarray(torient, np.int8)
+    ttyp = np.ascontiguousarray(ttyp, np.int8)
+    contained = np.ascontiguousarray(contained, np.uint8)
+    total_c = ctypes.c_int64(0)
+    handle = lib.overlap_relation_collect_mode(
+        packed.ctypes.data_as(pu32), packed_rc.ctypes.data_as(pu32),
+        lengths.ctypes.data_as(p32), n, row_words,
+        keys.ctypes.data_as(pu64), tread.ctypes.data_as(p32),
+        torient.ctypes.data_as(pi8), ttyp.ctypes.data_as(pi8), m, k,
+        ctypes.byref(total_c), 2, contained.ctypes.data_as(pu8))
+    total = total_c.value
+    starts = np.empty(n + 1, np.int64)
+    out_j = np.empty(total, np.int16)
+    out_r2 = np.empty(total, np.int32)
+    out_eo = np.empty(total, np.int8)
+    lib.overlap_relation_export_grouped(
+        handle, n, starts.ctypes.data_as(p64),
+        out_j.ctypes.data_as(p16), out_r2.ctypes.data_as(p32),
+        out_eo.ctypes.data_as(pi8))
+    return starts, out_j, out_r2, out_eo
 
 
 def mcmf_solve(v_nodes: int, tail, head, lb, ub, cost) -> np.ndarray:

@@ -92,10 +92,16 @@ struct Table {
 
 };
 
+// 12-byte packed hit: j fits int16 (the reference itself caps read length
+// at 15 bits, src/BuildGraph/src/HashTable.cpp:437-448) and typ/cont/edge
+// pack into one flags byte (bit0 edge, bit1 cont, bits 2-3 typ) — at
+// metagenome scale the collected hit blocks are the single largest
+// allocation of the build, so 16 -> 12 B/hit matters.
 struct Hit {
-  int32_t r1, j, r2;
-  int8_t orient, typ;
-  uint8_t cont, edge;
+  int32_t r1, r2;
+  int16_t j;
+  int8_t orient;
+  uint8_t flags;
 };
 
 // (window, table-position) candidate pair, collected per chunk so
@@ -193,7 +199,7 @@ static void* collect_impl(
       uint64_t sinkv = 0;
       for (int64_t j = jc; j < j_end; ++j) sinkv ^= qcodes[j - jc];
       if (sinkv == 0xdeadbeefcafef00dULL)
-        out.push_back(Hit{0, 0, 0, 0, 0, 0, 0});
+        out.push_back(Hit{0, 0, 0, 0, 0});
       continue;
 #endif
       // pass 2a: radix-range fetch + key-line prefetch.  The binary search's
@@ -244,7 +250,7 @@ static void* collect_impl(
         const int64_t c = static_cast<int64_t>(cand.size());
 #pragma omp atomic
         cand_total += c;
-        if (c == -1) out.push_back(Hit{0, 0, 0, 0, 0, 0, 0});
+        if (c == -1) out.push_back(Hit{0, 0, 0, 0, 0});
       }
       continue;
 #endif
@@ -305,10 +311,11 @@ static void* collect_impl(
           }
           if (!(edge_ok || cont_ok)) continue;
           out.push_back(Hit{static_cast<int32_t>(r1),
-                            static_cast<int32_t>(j),
-                            static_cast<int32_t>(r2), t.orient[p], t.typ[p],
-                            static_cast<uint8_t>(cont_ok ? 1 : 0),
-                            static_cast<uint8_t>(edge_ok ? 1 : 0)});
+                            static_cast<int32_t>(r2),
+                            static_cast<int16_t>(j), t.orient[p],
+                            static_cast<uint8_t>(
+                                (static_cast<uint8_t>(t.typ[p]) << 2) |
+                                (cont_ok ? 2u : 0u) | (edge_ok ? 1u : 0u))});
         }
       }
       }
@@ -372,12 +379,38 @@ void overlap_relation_export(void* handle, int32_t* out_r1, int32_t* out_j,
       out_j[slot] = h.j;
       out_r2[slot] = h.r2;
       out_orient[slot] = h.orient;
-      out_typ[slot] = h.typ;
-      out_cont[slot] = h.cont;
-      out_edge[slot] = h.edge;
+      out_typ[slot] = static_cast<int8_t>(h.flags >> 2);
+      out_cont[slot] = (h.flags >> 1) & 1u;
+      out_edge[slot] = h.flags & 1u;
       ++slot;
     }
   }
+  delete col;
+}
+
+// Grouped slim export for the edge-only (mode=2) pass: emits per-read group
+// bounds (starts[i] = first slot with r1 >= i, i in [0, n]) plus only the
+// columns the traversal replay consumes — j (int16), r2+1 (int32, 1-based),
+// orient — and frees each hit block as soon as it is copied, so the peak is
+// ~max(internal, exported) instead of their sum.  Rows are r1-ascending by
+// construction (blocks are read-ascending, rows within a block too).
+void overlap_relation_export_grouped(void* handle, int64_t n,
+                                     int64_t* out_starts, int16_t* out_j,
+                                     int32_t* out_r2p1, int8_t* out_orient) {
+  auto* col = static_cast<Collected*>(handle);
+  int64_t slot = 0;
+  int64_t cur = 0;
+  for (auto& b : col->blocks) {
+    for (const Hit& h : b) {
+      while (cur <= h.r1) out_starts[cur++] = slot;
+      out_j[slot] = h.j;
+      out_r2p1[slot] = h.r2 + 1;
+      out_orient[slot] = h.orient;
+      ++slot;
+    }
+    std::vector<Hit>().swap(b);
+  }
+  while (cur <= n) out_starts[cur++] = slot;
   delete col;
 }
 

@@ -312,3 +312,148 @@ extern "C" int64_t seq_scan_fill(const char* data, int64_t size,
   }
   return w;
 }
+
+// ---------------------------------------------------------------------------
+// Streaming file-backed scan: mmap + MADV_DONTNEED so the raw file never
+// occupies process-anonymous memory and its resident pages are released
+// between the two passes — at metagenome scale the in-memory raw buffer +
+// worst-case output buffer of the buffer API was the largest ingest
+// transient (BASELINE.md round-3 memory table).  Byte semantics identical
+// to seq_scan_count/seq_scan_fill.
+// ---------------------------------------------------------------------------
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+struct ScanFile {
+  int fd = -1;
+  const char* map = nullptr;
+  int64_t size = 0;
+};
+
+// counting pass that also totals sequence bytes, so the extract pass can
+// write into an exactly-sized buffer.  Returns record count, -1 on an
+// unknown leading byte.
+int64_t count_and_total(const char* data, int64_t size, int64_t* total_seq,
+                        int64_t* offsets = nullptr) {
+  int64_t total = 0;
+  int64_t n = 0;
+  if (offsets) offsets[0] = 0;
+  if (size != 0 && data[0] == '>') {
+    int64_t i = 1;
+    for (;;) {
+      const char* gp = static_cast<const char*>(
+          std::memchr(data + i, '>', static_cast<size_t>(size - i)));
+      const int64_t end = gp ? gp - data : size;
+      if (end > i) {
+        ++n;
+        const char* np = static_cast<const char*>(
+            std::memchr(data + i, '\n', static_cast<size_t>(end - i)));
+        if (np) {
+          int64_t p = (np - data) + 1;
+          while (p < end) {
+            const char* nl = static_cast<const char*>(
+                std::memchr(data + p, '\n', static_cast<size_t>(end - p)));
+            const int64_t le = nl ? nl - data : end;
+            total += le - p;
+            p = le + 1;
+          }
+        }
+        if (offsets) offsets[n] = total;
+      }
+      if (!gp) break;
+      i = end + 1;
+    }
+    *total_seq = total;
+    return n;
+  }
+  if (size != 0 && data[0] == '@') {
+    int64_t i = skip_line(data, 0, size);
+    while (i < size) {
+      int64_t st = i;
+      i = skip_line(data, i, size);
+      int64_t e = (i < size || data[size - 1] == '\n') ? i - 1 : i;
+      while (st < e && is_space(data[st])) ++st;
+      while (e > st && is_space(data[e - 1])) --e;
+      total += e - st;
+      ++n;
+      if (offsets) offsets[n] = total;
+      if (i < size) i = skip_line(data, i, size);
+      if (i < size) i = skip_line(data, i, size);
+      if (i >= size) break;
+      i = skip_line(data, i, size);
+    }
+    *total_seq = total;
+    return n;
+  }
+  *total_seq = 0;
+  return size == 0 ? 0 : -1;
+}
+
+}  // namespace
+
+extern "C" void* seq_scan_open(const char* path, int64_t* n_records,
+                               int64_t* total_seq) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return nullptr;
+  }
+  auto* sf = new ScanFile;
+  sf->fd = fd;
+  sf->size = static_cast<int64_t>(st.st_size);
+  if (sf->size > 0) {
+    void* m = mmap(nullptr, static_cast<size_t>(sf->size), PROT_READ,
+                   MAP_PRIVATE, fd, 0);
+    if (m == MAP_FAILED) {
+      close(fd);
+      delete sf;
+      return nullptr;
+    }
+    sf->map = static_cast<const char*>(m);
+    madvise(m, static_cast<size_t>(sf->size), MADV_SEQUENTIAL);
+  }
+  *n_records = count_and_total(sf->map, sf->size, total_seq);
+  if (sf->size > 0)
+    madvise(const_cast<char*>(sf->map), static_cast<size_t>(sf->size),
+            MADV_DONTNEED);
+  if (*n_records < 0) {
+    if (sf->map)
+      munmap(const_cast<char*>(sf->map), static_cast<size_t>(sf->size));
+    close(fd);
+    delete sf;
+    return nullptr;
+  }
+  return sf;
+}
+
+// lengths-only: rewalk to fill the per-record sequence-length boundaries
+// (offsets[i+1]-offsets[i] = record i's sequence length), then close the
+// handle without materializing any sequence bytes (the simplify DataSet
+// loads lengths only, reference: src/SimplifyGraph/src/DataSet.cpp).
+extern "C" void seq_scan_offsets_close(void* handle, int64_t* offsets) {
+  auto* sf = static_cast<ScanFile*>(handle);
+  int64_t tot = 0;
+  count_and_total(sf->map, sf->size, &tot, offsets);
+  if (sf->map)
+    munmap(const_cast<char*>(sf->map), static_cast<size_t>(sf->size));
+  close(sf->fd);
+  delete sf;
+}
+
+// fill pass into an exactly total_seq-sized buffer; closes the handle.
+extern "C" int64_t seq_scan_extract(void* handle, char* seq_out,
+                                    int64_t* offsets) {
+  auto* sf = static_cast<ScanFile*>(handle);
+  const int64_t w = seq_scan_fill(sf->map, sf->size, seq_out, offsets);
+  if (sf->map)
+    munmap(const_cast<char*>(sf->map), static_cast<size_t>(sf->size));
+  close(sf->fd);
+  delete sf;
+  return w;
+}

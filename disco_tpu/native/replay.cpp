@@ -50,7 +50,7 @@ struct Replayer {
   int64_t n, k, wpgs;
   const int64_t* starts;  // (n+1,) hit-group bounds, group of read r (1-based)
                           // = [starts[r-1], starts[r])
-  const int32_t* ej;
+  const int16_t* ej;
   const int32_t* er2;   // 1-based
   const int8_t* eo;
   const int32_t* lens;  // 0-based
@@ -339,7 +339,7 @@ extern "C" {
 // *chunk_offs a malloc'd int64 array of the parGraph byte offset after each
 // chunk flush (*n_chunks entries) — the exact kill points for restart tests.
 char* graph_replay(int64_t n, int64_t k, int64_t wpgs, const int64_t* starts,
-                   const int32_t* ej, const int32_t* er2, const int8_t* eo,
+                   const int16_t* ej, const int32_t* er2, const int8_t* eo,
                    const int32_t* lens, const int64_t* fidx,
                    uint8_t* all_marked, int64_t start_read, int64_t* out_size,
                    char** start_buf, int64_t* start_size,
@@ -404,7 +404,7 @@ int64_t edge_group_count(const int32_t* r1, const int32_t* r2,
 void edge_group_fill(const int32_t* r1, const int32_t* j, const int32_t* r2,
                      const int8_t* eo, const uint8_t* edge_ok,
                      const uint8_t* contained, int64_t nrows, int64_t n,
-                     int32_t* out_j, int32_t* out_r2, int8_t* out_eo,
+                     int16_t* out_j, int32_t* out_r2, int8_t* out_eo,
                      int64_t* starts) {
   const int64_t block = 1 << 20;
   const int64_t n_blocks = (nrows + block - 1) / block;
@@ -426,7 +426,7 @@ void edge_group_fill(const int32_t* r1, const int32_t* j, const int32_t* r2,
     int64_t w = offs[b];
     for (int64_t i = b * block; i < end; ++i) {
       if (edge_ok[i] && !contained[r1[i] + 1] && !contained[r2[i] + 1]) {
-        out_j[w] = j[i];
+        out_j[w] = static_cast<int16_t>(j[i]);
         out_r2[w] = r2[i] + 1;
         out_eo[w] = eo[i];
 #pragma omp atomic

@@ -94,22 +94,36 @@ def load_sequences(graph: FullGraph, single_files: List[str],
     is byte-identical to the read-major walk; `_populate_read` above is
     kept as the direct transcription for reference."""
     min_len = graph.p.min_contig_length
-    plan = {}
+    # the placement plan is kept in compact typed arrays, not a dict of
+    # per-read tuple lists: at metagenome scale the plan covers most reads
+    # and the Python-object form was the largest allocation of the contig
+    # streamer (~400 MB for ~13 MB of payload at 10 Mb)
+    from array import array
+    p_rid = array("q")
+    p_eidx = array("i")
+    p_flags = array("b")   # bit0: rc; bits 1-2: mode
+    p_start = array("i")
+    p_cap = array("i")
+    edges_tab: list = []
 
-    def add(rid, e, rc, mode, start, cap):
-        lst = plan.get(rid)
-        if lst is None:
-            plan[rid] = lst = []
-        lst.append((e, rc, mode, start, cap))
+    def add(rid, eidx, rc, mode, start, cap):
+        p_rid.append(rid)
+        p_eidx.append(eidx)
+        p_flags.append((1 if rc else 0) | (mode << 1))
+        p_start.append(start)
+        p_cap.append(cap)
 
     for node_lst in graph.g.d.values():
         for e in node_lst:
             if not e.is_smaller() or e.edge_length() < min_len:
                 continue
+            eidx = len(edges_tab)
+            edges_tab.append(e)
             # mode 0: source-read prefix (index -1); mode 1: dest read at
             # e.offset (index -2); mode 2: inner read at its link offset
-            add(e.src, e, not ((e.orient >> 1) & 1), 0, 0, e.first_offset())
-            add(e.dst, e, not (e.orient & 1), 1, e.offset, 0)
+            add(e.src, eidx, not ((e.orient >> 1) & 1), 0, 0,
+                e.first_offset())
+            add(e.dst, eidx, not (e.orient & 1), 1, e.offset, 0)
             n = e.inner.n
             if n:
                 inner = list(e.inner)
@@ -118,14 +132,31 @@ def load_sequences(graph: FullGraph, single_files: List[str],
                 for idx, (rid, ori, off) in enumerate(inner):
                     pref += off
                     cap = inner[idx + 1][2] if idx < n - 1 else last_cap
-                    add(rid, e, (ori & 1) != 1, 2, pref, cap)
+                    add(rid, eidx, (ori & 1) != 1, 2, pref, cap)
 
-    def feed(rid, b):
-        rows = plan.get(rid)
-        if not rows:
-            return
+    rid_a = np.frombuffer(p_rid, np.int64)
+    order = np.argsort(rid_a, kind="stable")
+    rid_s = rid_a[order]
+    eidx_s = np.frombuffer(p_eidx, np.int32)[order]
+    flags_s = np.frombuffer(p_flags, np.int8)[order]
+    start_s = np.frombuffer(p_start, np.int32)[order]
+    cap_s = np.frombuffer(p_cap, np.int32)[order]
+    del p_rid, p_eidx, p_flags, p_start, p_cap, rid_a, order
+
+    def plan_range(rid):
+        lo = int(np.searchsorted(rid_s, rid, side="left"))
+        hi = int(np.searchsorted(rid_s, rid, side="right"))
+        return lo, hi
+
+    def feed(rid, b, lo, hi):
         brc = None
-        for (e, rc, mode, start, cap) in rows:
+        for i in range(lo, hi):
+            e = edges_tab[eidx_s[i]]
+            f = int(flags_s[i])
+            rc = f & 1
+            mode = f >> 1
+            start = int(start_s[i])
+            cap = int(cap_s[i])
             if e.string is None:
                 e.string = bytearray(b"N" * e.edge_length())
             if rc:
@@ -151,11 +182,15 @@ def load_sequences(graph: FullGraph, single_files: List[str],
     rid = 1
     for group in (pair_files, inter_pair_files, single_files):
         for path in group:
-            blob, offs = native.seq_scan(iofasta.read_bytes(path))
-            raw = blob.tobytes()
+            blob, offs = iofasta.scan_records(path)
+            # per-read bytes are built only for reads the fill plan needs:
+            # no whole-file duplicate of the sequence blob
+            mv = memoryview(blob)
             bounds = offs.tolist()
             for i in range(len(bounds) - 1):
-                feed(rid, raw[bounds[i]:bounds[i + 1]])
+                lo, hi = plan_range(rid)
+                if lo < hi:
+                    feed(rid, bytes(mv[bounds[i]:bounds[i + 1]]), lo, hi)
                 rid += 1
 
 

@@ -45,6 +45,11 @@ def count_fasta_records(path: str) -> List[int]:
     try:
         from .. import native
         from ..io import fasta as iofasta
+        if not path.endswith(".gz"):
+            # lengths-only streaming scan: no sequence bytes materialized
+            offs = native.seq_scan_lengths(path)
+            if offs is not None:
+                return np.diff(offs).tolist()
         _blob, offs = native.seq_scan(iofasta.read_bytes(path))
         return np.diff(offs).tolist()
     except Exception:
