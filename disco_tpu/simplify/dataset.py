@@ -351,25 +351,31 @@ class SimplifyDataset:
         raise ValueError(f"read {rid} not in any dataset")
 
     # -- read -> edge back-index (reference: Read::setEdge/delEdge) ---------
+    # Entries are stored FLAT, two list slots per location: the edge object
+    # then (idx << 1 | orient_bit) — no per-entry tuple objects.  At
+    # metagenome scale the back-index covers every read, and the tuple form
+    # was a top allocation of the simplify graph.
     def set_edge(self, rid: int, edge: Edge, idx: int, orient_bit: int):
         lst = self.edge_locs[rid]
         if lst is None:
             lst = []
             self.edge_locs[rid] = lst
-        lst.append((edge, idx, orient_bit))
+        lst.append(edge)
+        lst.append(idx << 1 | orient_bit)
 
     def del_edge(self, rid: int, edge: Edge, idx: int, orient_bit: int):
         lst = self.edge_locs[rid]
         if not lst:
             return
-        for i, (e, j, o) in enumerate(lst):
-            if e is edge and j == idx and o == orient_bit:
-                del lst[i]
+        key = idx << 1 | orient_bit
+        for i in range(0, len(lst), 2):
+            if lst[i] is edge and lst[i + 1] == key:
+                del lst[i:i + 2]
                 return
         # reference delEdge with no match decrements count anyway (drops the
         # final entry); replicate
         if lst:
-            lst.pop()
+            del lst[-2:]
 
     def clear_edge_info(self) -> None:
         self.edge_locs = [None] * (self.size() + 1)
@@ -378,13 +384,15 @@ class SimplifyDataset:
         lst = self.edge_locs[rid]
         if not lst:
             return []
-        return [(e, i) for (e, i, o) in lst if o == 0]
+        return [(lst[i], lst[i + 1] >> 1) for i in range(0, len(lst), 2)
+                if (lst[i + 1] & 1) == 0]
 
     def bwd_edges(self, rid: int) -> List[Tuple[Edge, int]]:
         lst = self.edge_locs[rid]
         if not lst:
             return []
-        return [(e, i) for (e, i, o) in lst if o == 1]
+        return [(lst[i], lst[i + 1] >> 1) for i in range(0, len(lst), 2)
+                if (lst[i + 1] & 1) == 1]
 
     # -- used reads ---------------------------------------------------------
     def load_used_reads(self, path: str) -> int:

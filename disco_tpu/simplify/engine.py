@@ -67,7 +67,9 @@ class FullGraph:
                     lst = locs[rid]
                     if lst is None:
                         locs[rid] = lst = []
-                    lst.append((e, i, 0 if (ori & 1) == 1 else 1))
+                    # flat two-slot encoding (see SimplifyDataset.set_edge)
+                    lst.append(e)
+                    lst.append(i << 1 | (0 if (ori & 1) == 1 else 1))
             else:
                 for i, (rid, ori, _off) in enumerate(e.inner):
                     self.d.del_edge(rid, e, i, 0 if (ori & 1) == 1 else 1)
