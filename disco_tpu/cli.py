@@ -395,6 +395,14 @@ def main(argv=None) -> int:
     s.set_defaults(fn=cmd_stats)
 
     args = ap.parse_args(argv)
+    # profiler wrap (the reference ships runDisco-MPI-AllineaMAP.sh to run
+    # under the Allinea MAP profiler; the TPU-native analog is a JAX/XLA
+    # profiler trace viewable in TensorBoard/Perfetto)
+    trace_dir = os.environ.get("DISCO_TPU_TRACE")
+    if trace_dir:
+        import jax
+        with jax.profiler.trace(trace_dir):
+            return args.fn(args)
     return args.fn(args)
 
 
