@@ -15,20 +15,32 @@ import pytest
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 _CHILD = r"""
-import json, resource, sys
+import json, sys
 sys.path.insert(0, %(root)r)
 from disco_tpu.buildg.pipeline import run_buildg
 from disco_tpu.simplify.driver import run_fullsimplify
 
+
+def peak_mb():
+    # VmHWM, NOT getrusage: Linux does not reset ru_maxrss on execve, so a
+    # subprocess forked from a large parent (the pytest process after the
+    # virtual-mesh tests) inherits the parent's peak and reads garbage
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmHWM"):
+                return int(line.split()[1]) // 1024
+    return -1
+
+
 fasta, prefix = sys.argv[1], sys.argv[2]
 run_buildg([fasta], [], prefix, min_overlap=40, write_par_graph_size=20000)
-build_peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+build_peak = peak_mb()
 PARAM = ["/root/reference/disco.cfg", "/root/reference/disco_2.cfg",
          "/root/reference/disco_3.cfg"]
 run_fullsimplify([], [], [fasta], [prefix + "_0_parGraph.txt"],
                  [prefix + "_0_containedReads.txt"], prefix + "S",
                  param_files=PARAM)
-full_peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+full_peak = peak_mb()
 print(json.dumps({"build_mb": build_peak, "full_mb": full_peak}))
 """
 
