@@ -1,10 +1,13 @@
 #!/usr/bin/env python
-"""Compare the two device overlap-verification paths on real hardware:
+"""Compare the device overlap-verification paths on real hardware:
 
-  - verify_windows        : XLA packed-word gather + fused compare (production)
-  - verify_windows_pallas : Pallas/Mosaic VPU kernel after an XLA gather
+  - verify_windows        : XLA roll-align + compare (round-3 production)
+  - verify_windows_pallas : old Pallas compare kernel after an XLA align
+  - verify_windows_fused  : fused Pallas kernel, row-gather + transpose
+                            preamble (PRODUCTION since round 4)
+  - verify_windows_fused_t: fused kernel, transposed-table lane-gather
 
-Both replace the reference's byte-wise substring compares
+All replace the reference's byte-wise substring compares
 (reference: src/BuildGraph/src/OverlapGraph.cpp:401-478,638-674).
 
 Each path runs in a fresh subprocess: on a tunneled chip, a device->host
@@ -13,13 +16,12 @@ synchronous (latency-bound) mode, poisoning any later timing.
 
 Usage: python tools/bench_verify_paths.py   (runs on the default JAX backend)
 
-Measured 2026-08-19 on TPU v5e-lite (one chip, axon tunnel):
-  xla:    4.60e10 pairs/s
-  pallas: 2.98e10 pairs/s  (bit-identical output)
-The XLA path wins because its gather+compare fuse into one memory-bound pass,
-while the Pallas path pays an extra (tiles, words, lanes) relayout before the
-kernel; it therefore remains the production path.  The Pallas kernel is kept
-as the hand-scheduled fallback/reference implementation.
+History: the 1e10-1e11 pairs/s rates this file recorded in rounds 1-2 were
+measurement artifacts (terminal value-dedup + premature block_until_ready,
+see BASELINE.md round-3 correction).  Honest rates on the v5e chip
+(bench.py fori-loop harness, round 4): xla 1.27e7, fused 1.74e8,
+fused_t 1.76e8 pairs/s — the fused kernels sit at the measured whole-row
+gather bound; the XLA path is align-issue-bound ~13x below it.
 """
 import os
 import subprocess
