@@ -125,3 +125,49 @@ def test_seq_scan_matches_python_reader(tmp_path):
         f.write(raw)
     blob2, offs2 = native.seq_scan(fasta.read_bytes(str(fqz)))
     assert (offs2 == offs).all() and bytes(blob2) == bytes(blob)
+
+
+def test_streaming_scan_matches_buffer_scan(tmp_path):
+    """seq_scan_path / seq_scan_lengths (streaming mmap scanner, exact-size
+    output — the production ingest since round 4) must agree byte-for-byte
+    with the in-memory seq_scan on every tricky record shape."""
+    from disco_tpu import native
+    from disco_tpu.io import fasta
+
+    rng = random.Random(23)
+    seqs = ["".join(rng.choice("acgtACGT")
+                    for _ in range(rng.randrange(3, 200)))
+            for _ in range(60)]
+
+    fa = tmp_path / "s.fasta"
+    with open(fa, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">r{i} d\n")
+            for p in range(0, len(s), 50):
+                f.write(s[p:p + 50] + "\n")
+        f.write(">empty\n")
+        f.write(">no_newline_tail")
+    fq = tmp_path / "s.fastq"
+    with open(fq, "w") as f:
+        for i, s in enumerate(seqs[:9]):
+            f.write(f"@r{i}\n  {s} \n+\n{'I' * len(s)}\n")
+        f.write("@last\nACGTACGT\n+\nIIIIIIII")  # no trailing newline
+
+    for path in (fa, fq):
+        want_blob, want_offs = native.seq_scan(fasta.read_bytes(str(path)))
+        got = native.seq_scan_path(str(path))
+        assert got is not None
+        blob, offs = got
+        assert (offs == want_offs).all()
+        assert bytes(blob) == bytes(want_blob[:len(blob)])
+        assert len(blob) == want_offs[-1]  # exact-size, no slop
+        lens = native.seq_scan_lengths(str(path))
+        assert (lens == want_offs).all()
+
+    # empty file: 0 records
+    empty = tmp_path / "e.fasta"
+    empty.write_text("")
+    got = native.seq_scan_path(str(empty))
+    assert got is not None
+    blob, offs = got
+    assert len(offs) == 1 and len(blob) <= 1
