@@ -193,3 +193,81 @@ def test_multi_iteration_full_parity(tmp_path):
         assert ref.exists(), f"oracle did not produce {name}"
         got = (tmp_path / f"MINES_{name}").read_bytes()
         assert got == ref.read_bytes(), f"{name} differs"
+
+
+@pytest.mark.slow
+def test_fastq_input_full_parity(tmp_path):
+    """Full-pipeline live-oracle parity on FASTQ input (4-line records —
+    the reference sniffs '@' and parses FASTQ natively; read IDs, the
+    ReadIDMap and unused-read emission all differ from the FASTA path)."""
+    if not _have_oracle():
+        pytest.skip("reference oracle not built (tools/build_reference.sh)")
+    fastq = tmp_path / "reads.fastq"
+    subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "make_testdata.py"),
+         str(fastq), "--genome-len", "30000", "--coverage", "18",
+         "--read-len", "130", "--insert", "390", "--seed", "505",
+         "--fastq"],
+        check=True, stdout=subprocess.DEVNULL)
+    cfg = tmp_path / "b.cfg"
+    cfg.write_text("MinOverlap4BuildGraph = 40\n")
+    subprocess.run(
+        [str(REFBUILD / "buildG"), "-pe", str(fastq), "-f",
+         str(tmp_path / "REF"), "-p", str(cfg), "-t", "1", "-m", "4"],
+        check=True, cwd=tmp_path, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+    subprocess.run(
+        [str(REFBUILD / "fullsimplify"), "-fpi", str(fastq),
+         "-e", str(tmp_path / "REF_0_parGraph.txt"),
+         "-crd", str(tmp_path / "REF_0_containedReads.txt"),
+         "-simPth", str(REFBUILD), "-p", PARAM_FILES[0],
+         "-p2", PARAM_FILES[1], "-p3", PARAM_FILES[2],
+         "-o", str(tmp_path / "REFS"), "-t", "1", "-log", "INFO"],
+        check=True, cwd=tmp_path, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+
+    from disco_tpu.buildg.pipeline import run_buildg
+    from disco_tpu.simplify.driver import run_fullsimplify
+    run_buildg([str(fastq)], [], str(tmp_path / "MINE"), min_overlap=40,
+               write_par_graph_size=1000)
+    for suffix in ("_ReadIDMap.txt", "_0_containedReads.txt",
+                   "_0_parGraph.txt"):
+        assert (tmp_path / f"MINE{suffix}").read_bytes() == \
+            (tmp_path / f"REF{suffix}").read_bytes(), f"fastq {suffix}"
+    run_fullsimplify([], [], [str(fastq)],
+                     [str(tmp_path / "MINE_0_parGraph.txt")],
+                     [str(tmp_path / "MINE_0_containedReads.txt")],
+                     str(tmp_path / "MINES"), param_files=PARAM_FILES)
+    for name in SIMPLIFY_OUTPUTS:
+        ref = tmp_path / f"REFS_{name}"
+        if not ref.exists() or name == "phase_parsimplify_1.txt":
+            continue
+        assert (tmp_path / f"MINES_{name}").read_bytes() == \
+            ref.read_bytes(), f"fastq {name}"
+
+
+def test_gzip_input_self_consistency(tmp_path):
+    """Gzipped inputs take the in-memory scan fallback (the streaming
+    scanner handles plain files); outputs must be byte-identical to the
+    plain-file run.  (The reference oracle is built READGZ=0, so this is
+    a self-consistency check, not an oracle comparison.)"""
+    import gzip
+
+    fasta = tmp_path / "reads.fasta"
+    subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "make_testdata.py"),
+         str(fasta), "--genome-len", "20000", "--coverage", "15",
+         "--read-len", "120", "--insert", "360", "--seed", "606"],
+        check=True, stdout=subprocess.DEVNULL)
+    gz = tmp_path / "reads.fasta.gz"
+    with open(fasta, "rb") as fin, gzip.open(gz, "wb") as fout:
+        fout.write(fin.read())
+
+    from disco_tpu.buildg.pipeline import run_buildg
+    run_buildg([str(fasta)], [], str(tmp_path / "PLAIN"), min_overlap=40,
+               write_par_graph_size=1000)
+    run_buildg([str(gz)], [], str(tmp_path / "GZ"), min_overlap=40,
+               write_par_graph_size=1000)
+    for suffix in ("_0_containedReads.txt", "_0_parGraph.txt"):
+        assert (tmp_path / f"PLAIN{suffix}").read_bytes() == \
+            (tmp_path / f"GZ{suffix}").read_bytes(), f"gz {suffix}"

@@ -63,6 +63,9 @@ def main():
                          "the later iterations a real non-empty graph")
     ap.add_argument("--islet-len", type=int, default=290)
     ap.add_argument("--islet-cov", type=float, default=18.0)
+    ap.add_argument("--fastq", action="store_true",
+                    help="emit FASTQ (4-line records, constant quality) "
+                         "instead of FASTA")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -134,6 +137,12 @@ def main():
             arr[hits] = BASES[newc]
         return arr.tobytes().decode()
 
+    def rec(f, name, seq):
+        if args.fastq:
+            f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+        else:
+            f.write(f">{name}\n{seq}\n")
+
     with open(args.out, "w") as f:
         rid = 0
         for g, s, ins in zip(gidx, starts, inserts):
@@ -143,12 +152,12 @@ def main():
             r2 = add_errors(revcomp(frag[-args.read_len:]))
             if args.single_end:
                 rid += 1
-                f.write(f">r{rid} g={g} pos={s}\n{r1}\n")
+                rec(f, f"r{rid} g={g} pos={s}", r1)
                 continue
             rid += 1
-            f.write(f">r{rid}/1 g={g} pos={s}\n{r1}\n")
+            rec(f, f"r{rid}/1 g={g} pos={s}", r1)
             rid += 1
-            f.write(f">r{rid}/2 g={g} pos={s}\n{r2}\n")
+            rec(f, f"r{rid}/2 g={g} pos={s}", r2)
     print(f"wrote {args.out}: genomes={args.n_genomes}x{args.genome_len}bp "
           f"pairs={len(gidx)} readlen={args.read_len}")
 
