@@ -271,3 +271,66 @@ def test_gzip_input_self_consistency(tmp_path):
     for suffix in ("_0_containedReads.txt", "_0_parGraph.txt"):
         assert (tmp_path / f"PLAIN{suffix}").read_bytes() == \
             (tmp_path / f"GZ{suffix}").read_bytes(), f"gz {suffix}"
+
+
+@pytest.mark.slow
+def test_separated_pair_files_full_parity(tmp_path):
+    """Separated paired files (runDisco's -in1/-in2 -> buildG -pe f1,f2 +
+    fullsimplify -fp f1,f2): read IDs assign file-1 block then file-2
+    block and mates pair by OFFSET into the r2 range (reference:
+    DataSet::getMatePair, DataSet.cpp:385-423) — arithmetic the
+    interleaved fuzz cases never touch."""
+    if not _have_oracle():
+        pytest.skip("reference oracle not built (tools/build_reference.sh)")
+    inter = tmp_path / "inter.fasta"
+    subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "make_testdata.py"),
+         str(inter), "--genome-len", "30000", "--coverage", "18",
+         "--read-len", "130", "--insert", "390", "--seed", "707"],
+        check=True, stdout=subprocess.DEVNULL)
+    # split the interleaved records into r1/r2 files
+    recs = inter.read_text().strip().split("\n")
+    assert len(recs) % 4 == 0
+    with open(tmp_path / "r1.fasta", "w") as f1, \
+            open(tmp_path / "r2.fasta", "w") as f2:
+        for i in range(0, len(recs), 4):
+            f1.write(recs[i] + "\n" + recs[i + 1] + "\n")
+            f2.write(recs[i + 2] + "\n" + recs[i + 3] + "\n")
+    pair = f"{tmp_path}/r1.fasta,{tmp_path}/r2.fasta"
+    cfg = tmp_path / "b.cfg"
+    cfg.write_text("MinOverlap4BuildGraph = 40\n")
+
+    subprocess.run(
+        [str(REFBUILD / "buildG"), "-pe", pair, "-f", str(tmp_path / "REF"),
+         "-p", str(cfg), "-t", "1", "-m", "4"],
+        check=True, cwd=tmp_path, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+    subprocess.run(
+        [str(REFBUILD / "fullsimplify"), "-fp", pair,
+         "-e", str(tmp_path / "REF_0_parGraph.txt"),
+         "-crd", str(tmp_path / "REF_0_containedReads.txt"),
+         "-simPth", str(REFBUILD), "-p", PARAM_FILES[0],
+         "-p2", PARAM_FILES[1], "-p3", PARAM_FILES[2],
+         "-o", str(tmp_path / "REFS"), "-t", "1", "-log", "INFO"],
+        check=True, cwd=tmp_path, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+
+    from disco_tpu.buildg.pipeline import run_buildg
+    from disco_tpu.simplify.driver import run_fullsimplify
+    pf = [str(tmp_path / "r1.fasta"), str(tmp_path / "r2.fasta")]
+    run_buildg(pf, [], str(tmp_path / "MINE"), min_overlap=40,
+               write_par_graph_size=1000)
+    for suffix in ("_ReadIDMap.txt", "_0_containedReads.txt",
+                   "_0_parGraph.txt"):
+        assert (tmp_path / f"MINE{suffix}").read_bytes() == \
+            (tmp_path / f"REF{suffix}").read_bytes(), f"sep-pair {suffix}"
+    run_fullsimplify([], pf, [],
+                     [str(tmp_path / "MINE_0_parGraph.txt")],
+                     [str(tmp_path / "MINE_0_containedReads.txt")],
+                     str(tmp_path / "MINES"), param_files=PARAM_FILES)
+    for name in SIMPLIFY_OUTPUTS:
+        ref = tmp_path / f"REFS_{name}"
+        if not ref.exists() or name == "phase_parsimplify_1.txt":
+            continue
+        assert (tmp_path / f"MINES_{name}").read_bytes() == \
+            ref.read_bytes(), f"sep-pair {name}"
