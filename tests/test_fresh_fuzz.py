@@ -334,3 +334,54 @@ def test_separated_pair_files_full_parity(tmp_path):
             continue
         assert (tmp_path / f"MINES_{name}").read_bytes() == \
             ref.read_bytes(), f"sep-pair {name}"
+
+
+@pytest.mark.slow
+def test_single_end_full_parity(tmp_path):
+    """Pure single-end pipeline (buildG -se + fullsimplify -fs): no mate
+    pairs at all, so the insert-distance / PE-support / scaffolder
+    machinery runs degenerate (contigs pass through) — a path the paired
+    cases never exercise."""
+    if not _have_oracle():
+        pytest.skip("reference oracle not built (tools/build_reference.sh)")
+    se = tmp_path / "se.fasta"
+    subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "make_testdata.py"), str(se),
+         "--genome-len", "25000", "--coverage", "18", "--read-len", "140",
+         "--single-end", "--seed", "808"],
+        check=True, stdout=subprocess.DEVNULL)
+    cfg = tmp_path / "b.cfg"
+    cfg.write_text("MinOverlap4BuildGraph = 40\n")
+    subprocess.run(
+        [str(REFBUILD / "buildG"), "-se", str(se), "-f",
+         str(tmp_path / "REF"), "-p", str(cfg), "-t", "1", "-m", "4"],
+        check=True, cwd=tmp_path, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+    subprocess.run(
+        [str(REFBUILD / "fullsimplify"), "-fs", str(se),
+         "-e", str(tmp_path / "REF_0_parGraph.txt"),
+         "-crd", str(tmp_path / "REF_0_containedReads.txt"),
+         "-simPth", str(REFBUILD), "-p", PARAM_FILES[0],
+         "-p2", PARAM_FILES[1], "-p3", PARAM_FILES[2],
+         "-o", str(tmp_path / "REFS"), "-t", "1", "-log", "INFO"],
+        check=True, cwd=tmp_path, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+    assert (tmp_path / "REFS_scaffoldsFinal_1.fasta").exists()
+
+    from disco_tpu.buildg.pipeline import run_buildg
+    from disco_tpu.simplify.driver import run_fullsimplify
+    run_buildg([], [str(se)], str(tmp_path / "MINE"), min_overlap=40,
+               write_par_graph_size=1000)
+    for suffix in ("_0_containedReads.txt", "_0_parGraph.txt"):
+        assert (tmp_path / f"MINE{suffix}").read_bytes() == \
+            (tmp_path / f"REF{suffix}").read_bytes(), f"se {suffix}"
+    run_fullsimplify([str(se)], [], [],
+                     [str(tmp_path / "MINE_0_parGraph.txt")],
+                     [str(tmp_path / "MINE_0_containedReads.txt")],
+                     str(tmp_path / "MINES"), param_files=PARAM_FILES)
+    for name in SIMPLIFY_OUTPUTS:
+        ref = tmp_path / f"REFS_{name}"
+        if not ref.exists() or name == "phase_parsimplify_1.txt":
+            continue
+        assert (tmp_path / f"MINES_{name}").read_bytes() == \
+            ref.read_bytes(), f"se {name}"
