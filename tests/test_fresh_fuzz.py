@@ -385,3 +385,63 @@ def test_single_end_full_parity(tmp_path):
             continue
         assert (tmp_path / f"MINES_{name}").read_bytes() == \
             ref.read_bytes(), f"se {name}"
+
+
+@pytest.mark.slow
+def test_all_print_flags_full_parity(tmp_path):
+    """Live-oracle parity with every output flag on (PrintContigs +
+    PrintUnused + PrintGFA + PrintGFA2): covers the contig-print phase
+    (whose used-read marking precedes scaffolding and changes UsedReads),
+    the unused-read FASTA emission, and both GFA exports on fresh data."""
+    if not _have_oracle():
+        pytest.skip("reference oracle not built (tools/build_reference.sh)")
+    fasta = tmp_path / "reads.fasta"
+    subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "make_testdata.py"),
+         str(fasta), "--genome-len", "30000", "--coverage", "16",
+         "--read-len", "125", "--insert", "375", "--seed", "909"],
+        check=True, stdout=subprocess.DEVNULL)
+    p1 = tmp_path / "p1.cfg"
+    txt = pathlib.Path(PARAM_FILES[0]).read_text()
+    for flag in ("PrintContigs", "PrintUnused", "PrintGFA", "PrintGFA2"):
+        txt = txt.replace(f"{flag} = false", f"{flag} = true")
+    p1.write_text(txt)
+    cfg = tmp_path / "b.cfg"
+    cfg.write_text("MinOverlap4BuildGraph = 40\n")
+    subprocess.run(
+        [str(REFBUILD / "buildG"), "-pe", str(fasta), "-f",
+         str(tmp_path / "REF"), "-p", str(cfg), "-t", "1", "-m", "4"],
+        check=True, cwd=tmp_path, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+    subprocess.run(
+        [str(REFBUILD / "fullsimplify"), "-fpi", str(fasta),
+         "-e", str(tmp_path / "REF_0_parGraph.txt"),
+         "-crd", str(tmp_path / "REF_0_containedReads.txt"),
+         "-simPth", str(REFBUILD), "-p", str(p1),
+         "-p2", PARAM_FILES[1], "-p3", PARAM_FILES[2],
+         "-o", str(tmp_path / "REFS"), "-t", "1", "-log", "INFO"],
+        check=True, cwd=tmp_path, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+    for must in ("contigsFinal_1.fasta", "Graph_1.gfa", "Graph_1.gfa2",
+                 "0_UnusedPairedReads.fasta"):
+        assert (tmp_path / f"REFS_{must}").exists(), must
+
+    from disco_tpu.buildg.pipeline import run_buildg
+    from disco_tpu.simplify.driver import run_fullsimplify
+    run_buildg([str(fasta)], [], str(tmp_path / "MINE"), min_overlap=40,
+               write_par_graph_size=1000)
+    run_fullsimplify([], [], [str(fasta)],
+                     [str(tmp_path / "MINE_0_parGraph.txt")],
+                     [str(tmp_path / "MINE_0_containedReads.txt")],
+                     str(tmp_path / "MINES"),
+                     param_files=[str(p1), PARAM_FILES[1], PARAM_FILES[2]])
+    checked = 0
+    for ref in sorted(tmp_path.glob("REFS_*")):
+        name = ref.name[len("REFS_"):]
+        if name == "phase_parsimplify_1.txt":
+            continue
+        mine = tmp_path / f"MINES_{name}"
+        assert mine.exists(), f"missing MINES_{name}"
+        assert mine.read_bytes() == ref.read_bytes(), f"allprint {name}"
+        checked += 1
+    assert checked >= 18, checked
