@@ -54,18 +54,26 @@ def _align(x, d, bit, wp):
     return jnp.where(bit == 0, x, (x << bit) | lo)
 
 
-def _fused_kernel(a_ref, b_ref, s_ref, out_ref):
-    """Blocks: a/b (wp, TILE) uint32 unaligned row columns; s (8, TILE)
-    int32 scalar rows [d1, bit1, d2, bit2, n, 0, 0, 0]; out (1, TILE) int32
-    hit mask."""
-    wp = a_ref.shape[0]
-    u32 = jnp.uint32
-    d1 = s_ref[0:1, :]
-    bit1 = pltpu.bitcast(s_ref[1:2, :], u32)
-    d2 = s_ref[2:3, :]
-    bit2 = pltpu.bitcast(s_ref[3:4, :], u32)
-    n = s_ref[4:5, :]
+def _split_off(o_ref):
+    """Derive (word shift, uint32 bit phase) from a (1, T) base-offset
+    block — in-kernel, so the host side ships raw offsets and no separate
+    d/bit passes or scalar-stack materialization run in XLA.  The shift
+    forms replicate Python floor-division semantics for any negative
+    offsets on invalid (masked-off) lanes."""
+    o = o_ref[...]
+    d = o >> jnp.int32(4)                      # o // 16
+    bit = pltpu.bitcast((o & jnp.int32(15)) << jnp.int32(1), jnp.uint32)
+    return d, bit
 
+
+def _fused_kernel(a_ref, b_ref, o1_ref, o2_ref, n_ref, out_ref):
+    """Blocks: a/b (wp, TILE) uint32 unaligned row columns; o1/o2/n
+    (1, TILE) int32 raw window offsets/lengths; out (1, TILE) int32 hit
+    mask."""
+    wp = a_ref.shape[0]
+    d1, bit1 = _split_off(o1_ref)
+    d2, bit2 = _split_off(o2_ref)
+    n = n_ref[...]
     a = _align(a_ref[:], d1, bit1, wp)
     b = _align(b_ref[:], d2, bit2, wp)
     # masked compare over every word row at once; word index = sublane id
@@ -85,25 +93,22 @@ def _masked_cmp(a, b, n, wp, width):
     return jnp.min(okw, axis=0, keepdims=True)
 
 
-def _dual_kernel(a_ref, b_ref, s_ref, out_ref):
+def _dual_kernel(a_ref, b_ref, eo1_ref, eo2_ref, en_ref,
+                 co1_ref, cn_ref, out_ref):
     """Both overlap checks for one candidate batch in one VMEM pass: the
     suffix-prefix EDGE window (a@e_o1 vs b@e_o2, length ne) and the
     CONTAINMENT window (a@c_o1 vs b@0, length nc — read2's whole string,
-    so b needs no alignment).  Blocks: a/b (wp, TILE) uint32; s (8, TILE)
-    int32 rows [d1e, bit1e, d2e, bit2e, ne, d1c, bit1c, nc]; out (2, TILE)
-    int32 [edge_ok, cont_ok]."""
+    so b needs no alignment).  Blocks: a/b (wp, TILE) uint32; per-window
+    offsets/lengths as (1, TILE) int32 blocks; out (2, TILE) int32
+    [edge_ok, cont_ok]."""
     wp = a_ref.shape[0]
-    u32 = jnp.uint32
     a = a_ref[:]
     b = b_ref[:]
-    d1e = s_ref[0:1, :]
-    b1e = pltpu.bitcast(s_ref[1:2, :], u32)
-    d2e = s_ref[2:3, :]
-    b2e = pltpu.bitcast(s_ref[3:4, :], u32)
-    ne = s_ref[4:5, :]
-    d1c = s_ref[5:6, :]
-    b1c = pltpu.bitcast(s_ref[6:7, :], u32)
-    nc = s_ref[7:8, :]
+    d1e, b1e = _split_off(eo1_ref)
+    d2e, b2e = _split_off(eo2_ref)
+    ne = en_ref[...]
+    d1c, b1c = _split_off(co1_ref)
+    nc = cn_ref[...]
     width = a.shape[1]
     oke = _masked_cmp(_align(a, d1e, b1e, wp), _align(b, d2e, b2e, wp),
                       ne, wp, width)
@@ -118,64 +123,55 @@ def fused_compare_dual(a, b, e_o1, e_o2, e_n, c_o1, c_n, *, interpret=False):
     bool (P,) each."""
     wp, p = a.shape
     assert p % TILE == 0, p
-    d1e, b1e = _offsets(e_o1)
-    d2e, b2e = _offsets(e_o2)
-    d1c, b1c = _offsets(c_o1)
-    scal = jnp.stack([d1e, b1e, d2e, b2e, e_n.astype(jnp.int32),
-                      d1c, b1c, c_n.astype(jnp.int32)]).astype(jnp.int32)
 
     def _data(i):
         return (jnp.int32(0), i)
+
+    row = pl.BlockSpec((1, TILE), _data, memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((wp, TILE), _data, memory_space=pltpu.VMEM)
+
+    def v(x):
+        return x.astype(jnp.int32).reshape(1, p)
 
     out = pl.pallas_call(
         _dual_kernel,
         out_shape=jax.ShapeDtypeStruct((2, p), jnp.int32),
         grid=(p // TILE,),
-        in_specs=[
-            pl.BlockSpec((wp, TILE), _data, memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, TILE), _data, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE), _data, memory_space=pltpu.VMEM),
-        ],
+        in_specs=[blk, blk, row, row, row, row, row],
         out_specs=pl.BlockSpec((2, TILE), _data, memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(a, b, scal)
+    )(a, b, v(e_o1), v(e_o2), v(e_n), v(c_o1), v(c_n))
     return out[0].astype(jnp.bool_), out[1].astype(jnp.bool_)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_compare(a, b, d1, bit1, d2, bit2, n, *, interpret=False):
+def fused_compare(a, b, o1, o2, n, *, interpret=False):
     """a, b: (Wp, P) uint32 unaligned row columns (pair p's packed row in
-    column p); d*/bit*: (P,) int32 word/bit offsets of each window start;
+    column p); o1/o2: (P,) int32 base offsets of each window start;
     n: (P,) int32 window base lengths (0 => True).  P must be a multiple of
-    TILE.  Returns (P,) bool."""
+    TILE.  Returns (P,) bool.  Offset->word/bit derivation happens inside
+    the kernel (no XLA scalar passes)."""
     wp, p = a.shape
     assert p % TILE == 0, p
-    grid = (p // TILE,)
-    zero = jnp.zeros_like(n)
-    scal = jnp.stack([d1, bit1, d2, bit2, n, zero, zero, zero]
-                     ).astype(jnp.int32)  # (8, P)
 
     def _data(i):
         return (jnp.int32(0), i)
 
+    row = pl.BlockSpec((1, TILE), _data, memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((wp, TILE), _data, memory_space=pltpu.VMEM)
+
+    def v(x):
+        return x.astype(jnp.int32).reshape(1, p)
+
     out = pl.pallas_call(
         _fused_kernel,
         out_shape=jax.ShapeDtypeStruct((1, p), jnp.int32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((wp, TILE), _data, memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, TILE), _data, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE), _data, memory_space=pltpu.VMEM),
-        ],
+        grid=(p // TILE,),
+        in_specs=[blk, blk, row, row, row],
         out_specs=pl.BlockSpec((1, TILE), _data, memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(a, b, scal)
+    )(a, b, v(o1), v(o2), v(n))
     return out.reshape(p).astype(jnp.bool_)
-
-
-def _offsets(o):
-    o = o.astype(jnp.int32)
-    return o // 16, 2 * (o % 16)
 
 
 def _pad_pairs(arrs, p):
@@ -202,9 +198,7 @@ def verify_windows_fused(packed_all, rows1, rows2, o1, o2, n, *, n_words,
          o1.astype(jnp.int32), o2.astype(jnp.int32), n.astype(jnp.int32)], p)
     a = packed_all[rows1].T  # (Wp, P): gather then one relayout pass
     b = packed_all[rows2].T
-    d1, bit1 = _offsets(o1)
-    d2, bit2 = _offsets(o2)
-    ok = fused_compare(a, b, d1, bit1, d2, bit2, n, interpret=interpret)
+    ok = fused_compare(a, b, o1, o2, n, interpret=interpret)
     return ok[:p]
 
 
@@ -221,7 +215,5 @@ def verify_windows_fused_t(packed_all_t, rows1, rows2, o1, o2, n, *, n_words,
          o1.astype(jnp.int32), o2.astype(jnp.int32), n.astype(jnp.int32)], p)
     a = jnp.take(packed_all_t, rows1, axis=1)
     b = jnp.take(packed_all_t, rows2, axis=1)
-    d1, bit1 = _offsets(o1)
-    d2, bit2 = _offsets(o2)
-    ok = fused_compare(a, b, d1, bit1, d2, bit2, n, interpret=interpret)
+    ok = fused_compare(a, b, o1, o2, n, interpret=interpret)
     return ok[:p]
