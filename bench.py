@@ -84,8 +84,10 @@ def main() -> None:
     from disco_tpu.overlap.verify import make_packed_all, verify_windows
 
     # DISCO_TPU_BENCH_PATH selects the measured verify implementation
-    # (default: the fused Pallas kernel; "xla" = the round-3 align path)
-    path = os.environ.get("DISCO_TPU_BENCH_PATH", "fused")
+    # (default fused_mxu2: fused Pallas kernel with the DMA + one-hot MXU
+    # row expansion for the sorted r1 side; "fused" = gather-only variant;
+    # "xla" = the round-3 align path)
+    path = os.environ.get("DISCO_TPU_BENCH_PATH", "fused_mxu2")
 
     with tempfile.TemporaryDirectory() as td:
         fasta = os.path.join(td, "bench.fasta")
@@ -99,17 +101,37 @@ def main() -> None:
         cap = 1 << 18
         if len(r1) > cap:
             r1, rows2, o1, o2, n = (x[:cap] for x in (r1, rows2, o1, o2, n))
+        if path in ("fused_mxu", "fused_mxu2"):
+            # the MXU-fetch kernel requires sorted r1 with small per-tile
+            # spans (guaranteed by the window-scan order at this geometry;
+            # guard anyway and fall back rather than risk wrong one-hots)
+            from disco_tpu.overlap.fused_kernel import SPAN_ROWS, TILE
+            nt = len(r1) // TILE
+            r1t = np.asarray(r1[:nt * TILE]).reshape(nt, TILE)
+            span = int((r1t.max(axis=1) - r1t.min(axis=1)).max())
+            if (r1t[:, 1:] < r1t[:, :-1]).any() or span >= SPAN_ROWS - 4:
+                print(f"# fused_mxu span/sort guard tripped (span={span});"
+                      " falling back to fused", file=sys.stderr)
+                path = "fused"
         packed_np = np.asarray(make_packed_all(store.packed, store.packed_rc))
         if path == "fused_t":
             packed_np = np.ascontiguousarray(packed_np.T)
-        packed_all = jax.device_put(packed_np)
+        elif path in ("fused_mxu", "fused_mxu2"):
+            from disco_tpu.overlap.fused_kernel import pack_lines
+            lines_np, _ = pack_lines(packed_np)
+            packed_np = ((lines_np, packed_np) if path == "fused_mxu2"
+                         else lines_np)
+        packed_all = jax.device_put(packed_np)  # pytree ok
         if path == "xla":
             verify_fn = verify_windows
         else:
             from disco_tpu.overlap.fused_kernel import (
-                verify_windows_fused, verify_windows_fused_t)
-            verify_fn = (verify_windows_fused_t if path == "fused_t"
-                         else verify_windows_fused)
+                verify_windows_fused, verify_windows_fused_mxu,
+                verify_windows_fused_t)
+            verify_fn = {"fused_t": verify_windows_fused_t,
+                         "fused_mxu": verify_windows_fused_mxu,
+                         "fused_mxu2": verify_windows_fused_mxu,
+                         }.get(path, verify_windows_fused)
         total = len(r1)
         dev = [jax.device_put(x) for x in (r1, rows2, o1, o2, n)]
         # Measurement design (round-3 rework): the whole rep loop runs

@@ -217,3 +217,139 @@ def verify_windows_fused_t(packed_all_t, rows1, rows2, o1, o2, n, *, n_words,
     b = jnp.take(packed_all_t, rows2, axis=1)
     ok = fused_compare(a, b, o1, o2, n, interpret=interpret)
     return ok[:p]
+
+
+# ---------------------------------------------------------------------------
+# MXU-fetch variant: the r1 side of the verify batch arrives SORTED (window
+# scan order), so each TILE's rows live in a short contiguous slice of the
+# packed table.  Instead of a per-pair row gather, the kernel DMAs the
+# slice (as 128-lane LINES of 4 rows x 32 words) into VMEM and expands
+# per-lane rows with one-hot MXU matmuls — measured 4.9x the gather on the
+# fetch alone (tools/exp_mxu_fetch.py).  The random r2 side keeps the XLA
+# gather.  Requires rows1 sorted and per-tile spans < SPAN_ROWS; the
+# wrapper asserts outside jit.
+# ---------------------------------------------------------------------------
+W32 = 32          # padded words per row (128-lane line = 4 rows)
+K_LINES = 16      # lines DMA'd per tile
+SPAN_ROWS = K_LINES * 4 - 4
+
+
+def _mxu_kernel(blines_ref, rl_ref, o1_ref, o2_ref, n_ref, b_ref, hbm_ref,
+                out_ref, scratch, sem):
+    t = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        hbm_ref.at[pl.ds(blines_ref[t], K_LINES), :], scratch, sem)
+    cp.start()
+    cp.wait()
+    rl = rl_ref[...]                       # (1, T) row offset within slice
+    line = rl >> jnp.int32(2)
+    phase = rl & jnp.int32(3)
+    width = rl.shape[1]
+    lio = jax.lax.broadcasted_iota(jnp.int32, (K_LINES, width), 0)
+    hp = jax.lax.Precision.HIGHEST
+    dn = (((0,), (0,)), ((), ()))
+    a_hi = jnp.zeros((W32, width), jnp.float32)
+    a_lo = jnp.zeros((W32, width), jnp.float32)
+    for q in range(4):
+        # Mosaic has no u32<->f32 casts: route via int32 (16-bit values)
+        seg = scratch[:, q * W32:(q + 1) * W32]
+        hi = pltpu.bitcast(seg >> jnp.uint32(16),
+                           jnp.int32).astype(jnp.float32)
+        lo = pltpu.bitcast(seg & jnp.uint32(0xFFFF),
+                           jnp.int32).astype(jnp.float32)
+        oh = jnp.where((lio == line) & (phase == jnp.int32(q)),
+                       jnp.float32(1), jnp.float32(0))
+        a_hi += jax.lax.dot_general(hi, oh, dn, precision=hp,
+                                    preferred_element_type=jnp.float32)
+        a_lo += jax.lax.dot_general(lo, oh, dn, precision=hp,
+                                    preferred_element_type=jnp.float32)
+    a = ((pltpu.bitcast(a_hi.astype(jnp.int32), jnp.uint32) << jnp.uint32(16))
+         | pltpu.bitcast(a_lo.astype(jnp.int32), jnp.uint32))
+    d1, bit1 = _split_off(o1_ref)
+    d2, bit2 = _split_off(o2_ref)
+    n = n_ref[...]
+    aa = _align(a, d1, bit1, W32)
+    bb = _align(b_ref[:], d2, bit2, W32)
+    out_ref[:] = _masked_cmp(aa, bb, n, W32, width)
+
+
+def pack_lines(packed_all):
+    """Host-side layout for the MXU-fetch path: rows padded to 32 words,
+    row count padded to a multiple of 4 (+ slice headroom), viewed as
+    128-lane lines of 4 rows.  Returns (lines (L, 128) uint32, n_rows)."""
+    import numpy as np
+    pa = np.asarray(packed_all)
+    nr, wp = pa.shape
+    out = np.zeros((nr + (-nr) % 4 + K_LINES * 4, W32), np.uint32)
+    out[:nr, :wp] = pa
+    return np.ascontiguousarray(out.reshape(-1, 128)), nr
+
+
+@functools.partial(jax.jit, static_argnames=("n_words", "interpret"))
+def verify_windows_fused_mxu(packed_lines, rows1, rows2, o1, o2, n, *,
+                             n_words, interpret=False):
+    """verify_windows over the line-packed table: sorted rows1 fetched by
+    per-tile DMA + one-hot MXU expansion inside the kernel; rows2 by XLA
+    gather.  rows1 MUST be sorted with per-tile spans < SPAN_ROWS (the
+    window scan emits candidates r1-sorted; bench asserts)."""
+    p = rows1.shape[0]
+    pad = (-p) % TILE
+    if pad:
+        # pad rows with the LAST row (keeps tile spans tiny); offsets 0
+        rows1 = jnp.concatenate(
+            [rows1.astype(jnp.int32),
+             jnp.broadcast_to(rows1[-1].astype(jnp.int32), (pad,))])
+        rows2 = jnp.concatenate(
+            [rows2.astype(jnp.int32),
+             jnp.broadcast_to(rows2[-1].astype(jnp.int32), (pad,))])
+        z = jnp.zeros(pad, jnp.int32)
+        o1 = jnp.concatenate([o1.astype(jnp.int32), z])
+        o2 = jnp.concatenate([o2.astype(jnp.int32), z])
+        n = jnp.concatenate([n.astype(jnp.int32), z])
+    pp = p + pad
+    nt = pp // TILE
+    if isinstance(packed_lines, (tuple, list)):
+        # (lines, original table): gather b's random rows from the COMPACT
+        # 17-word table (47% less gather traffic than 32-word rows) and
+        # zero-pad the word axis up to W32 in one cheap pass
+        packed_lines, packed_orig = packed_lines
+        b17 = packed_orig[rows2.astype(jnp.int32)].T     # (Wp, pp)
+        b = jnp.concatenate(
+            [b17, jnp.zeros((W32 - b17.shape[0], pp), jnp.uint32)], axis=0)
+    else:
+        packed32 = packed_lines.reshape(-1, W32)
+        b = packed32[rows2.astype(jnp.int32)].T   # (W32, pp)
+    r1t = rows1.astype(jnp.int32).reshape(nt, TILE)
+    base_rows = r1t[:, 0] & ~jnp.int32(3)          # line-aligned base
+    blines = base_rows >> jnp.int32(2)
+    rl = (r1t - base_rows[:, None]).reshape(1, pp)
+
+    def _row(i, *_):
+        return (jnp.int32(0), i)
+
+    def _blk(i, *_):
+        return (jnp.int32(0), i)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, TILE), _row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), _row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), _row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), _row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W32, TILE), _blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, TILE), _row, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((K_LINES, 128), jnp.uint32),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    out = pl.pallas_call(
+        _mxu_kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, pp), jnp.int32),
+        interpret=interpret,
+    )(blines, rl, o1.astype(jnp.int32).reshape(1, pp),
+      o2.astype(jnp.int32).reshape(1, pp),
+      n.astype(jnp.int32).reshape(1, pp), b, packed_lines)
+    return out.reshape(pp).astype(jnp.bool_)[:p]

@@ -86,3 +86,32 @@ def test_fused_non_tile_multiple_and_zero_n():
         interpret=True))
     assert (want == got).all()
     assert got[:10].all()
+
+
+def test_mxu_fetch_variant_matches_on_tpu():
+    """verify_windows_fused_mxu (per-tile DMA + one-hot MXU row expansion
+    for the sorted r1 side) vs the XLA path.  The kernel's DMA +
+    scalar-prefetch pipeline only runs compiled on TPU; skipped on the CPU
+    test mesh (bench.py exercises it on hardware)."""
+    import jax
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("MXU-fetch kernel requires a TPU backend")
+    from disco_tpu.overlap.fused_kernel import (pack_lines,
+                                                verify_windows_fused_mxu)
+
+    store, packed_all, _r, rows2, o1, o2, n = _fixture(seed=9, P=4096 + 700)
+    rng = np.random.default_rng(10)
+    rows1 = np.sort(rng.integers(0, 55, len(rows2))).astype(np.int32)
+    want = np.asarray(verify_windows(packed_all, rows1, rows2, o1, o2, n,
+                                     n_words=store.n_words))
+    lines, _ = pack_lines(packed_all)
+    got = np.asarray(verify_windows_fused_mxu(
+        jax.device_put(lines), rows1, rows2, o1, o2, n,
+        n_words=store.n_words))
+    assert (want == got).all()
+    got2 = np.asarray(verify_windows_fused_mxu(
+        (jax.device_put(lines), jax.device_put(np.asarray(packed_all))),
+        rows1, rows2, o1, o2, n, n_words=store.n_words))
+    assert (want == got2).all()
