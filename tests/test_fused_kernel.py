@@ -115,3 +115,27 @@ def test_mxu_fetch_variant_matches_on_tpu():
         (jax.device_put(lines), jax.device_put(np.asarray(packed_all))),
         rows1, rows2, o1, o2, n, n_words=store.n_words))
     assert (want == got2).all()
+
+
+def test_mxu_fetch_variant_interpret():
+    """Same MXU-fetch equivalence in Pallas interpret mode, so the DMA +
+    scalar-prefetch + one-hot-matmul kernel is covered on the CPU suite
+    (the compiled kernel is exercised on hardware by bench.py and the
+    TPU-gated test above)."""
+    from disco_tpu.overlap.fused_kernel import (pack_lines,
+                                                verify_windows_fused_mxu)
+
+    store, packed_all, _r, rows2, o1, o2, n = _fixture(seed=9, P=2048 + 300)
+    rng = np.random.default_rng(10)
+    rows1 = np.sort(rng.integers(0, 55, len(rows2))).astype(np.int32)
+    want = np.asarray(verify_windows(packed_all, rows1, rows2, o1, o2, n,
+                                     n_words=store.n_words))
+    lines, _ = pack_lines(packed_all)
+    got = np.asarray(verify_windows_fused_mxu(
+        lines, rows1, rows2, o1, o2, n, n_words=store.n_words,
+        interpret=True))
+    assert (want == got).all()
+    got2 = np.asarray(verify_windows_fused_mxu(
+        (lines, np.asarray(packed_all)), rows1, rows2, o1, o2, n,
+        n_words=store.n_words, interpret=True))
+    assert (want == got2).all()
