@@ -339,7 +339,7 @@ def verify_windows_fused_mxu(packed_lines, rows1, rows2, o1, o2, n, *,
             pl.BlockSpec((1, TILE), _row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), _row, memory_space=pltpu.VMEM),
             pl.BlockSpec((W32, TILE), _blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, TILE), _row, memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((K_LINES, 128), jnp.uint32),
