@@ -143,11 +143,8 @@ def run_buildg(paired_files: Sequence[str], single_files: Sequence[str],
         if two_pass:
             from .. import native
             n = store.n_reads
-            # int16 window offsets: the reference itself caps read length
-            # at 15 bits (HashTable.cpp:437-448 packs len<<48 in 15 bits)
-            assert store.max_len < (1 << 15), (
-                f"reads of {store.max_len} bp exceed the 15-bit length cap "
-                "shared with the reference")
+            # int16 window offsets are safe: ReadStore.__post_init__
+            # enforces the 15-bit read-length cap for every path
             contained = (superread[1:n + 1] != 0).astype(np.uint8)
             # slim grouped export: ~7 B/row (starts + int16 j + 1-based r2
             # + orient) instead of the 16 B/row generic columns, with the

@@ -41,6 +41,16 @@ class ReadStore:
     # reference: src/BuildGraph/src/Dataset.h:14 READ_TASK_BLOCK
     READ_TASK_BLOCK = 10000
 
+    def __post_init__(self):
+        # 15-bit read-length cap, enforced once for every construction path:
+        # the replay paths carry window offsets as int16 and the reference
+        # itself packs read length in 15 bits (HashTable.cpp:437-448,
+        # len<<48).  Longer reads must fail loudly, not truncate.
+        if self.max_len >= (1 << 15):
+            raise ValueError(
+                f"reads of {self.max_len} bp exceed the 15-bit length cap "
+                "shared with the reference (HashTable.cpp len<<48 packing)")
+
     @classmethod
     def from_files(cls, paired_files: Sequence[str], single_files: Sequence[str],
                    min_overlap: int, id_map_path: Optional[str] = None,

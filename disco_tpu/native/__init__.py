@@ -261,12 +261,14 @@ def _readqc_lib():
             lib.seq_scan_open.argtypes = [ctypes.c_char_p, p64, p64]
             lib.seq_scan_open.restype = ctypes.c_void_p
             lib.seq_scan_extract.argtypes = [ctypes.c_void_p,
-                                             ctypes.c_char_p, p64]
+                                             ctypes.c_char_p, ctypes.c_int64,
+                                             p64, ctypes.c_int64]
             lib.seq_scan_extract.restype = ctypes.c_int64
             lib.seq_scan_offsets_close.argtypes = [ctypes.c_void_p, p64]
             lib.seq_scan_offsets_close.restype = None
             lib.seq_scan_fill.argtypes = [ctypes.c_char_p, ctypes.c_int64,
-                                          ctypes.c_char_p, p64]
+                                          ctypes.c_char_p, ctypes.c_int64,
+                                          p64, ctypes.c_int64]
             lib.seq_scan_fill.restype = ctypes.c_int64
             _READQC = lib
     return _READQC
@@ -337,9 +339,11 @@ def seq_scan_path(path: str):
     offsets = np.zeros(n.value + 1, np.int64)
     buf = np.empty(max(tot.value, 1), np.uint8)
     w = lib.seq_scan_extract(
-        h, _as_char_p(buf),
-        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
-    assert w == tot.value, (w, tot.value)
+        h, _as_char_p(buf), tot.value,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n.value)
+    if w != tot.value:  # -1 = capacity guard tripped in C++ (file changed)
+        raise RuntimeError(
+            f"{path}: file changed between scan passes ({w} != {tot.value})")
     return buf, offsets
 
 
@@ -374,8 +378,11 @@ def seq_scan(raw):
     offsets = np.zeros(n + 1, np.int64)
     buf = np.empty(max(size, 1), np.uint8)
     total = lib.seq_scan_fill(_as_char_p(raw), size, _as_char_p(buf),
+                              len(buf),
                               offsets.ctypes.data_as(
-                                  ctypes.POINTER(ctypes.c_int64)))
+                                  ctypes.POINTER(ctypes.c_int64)), n)
+    if total < 0:
+        raise RuntimeError("seq_scan: fill pass exceeded counted capacity")
     return buf[:total], offsets
 
 

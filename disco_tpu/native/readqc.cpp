@@ -255,15 +255,21 @@ extern "C" int64_t seq_scan_count(const char* data, int64_t size) {
   return -1;
 }
 
-// pass 2: write upper-cased sequence bytes to seq_out (caller sizes it at
-// `size` bytes — an upper bound) and record boundaries to offsets
-// (n_records+1, offsets[0]=0).  Returns total sequence bytes.
+// pass 2: write upper-cased sequence bytes to seq_out and record boundaries
+// to offsets (n_cap entries beyond offsets[0]=0).  Returns total sequence
+// bytes, or -1 if either buffer capacity would be exceeded — the mmap'd
+// pages can re-fault from a file that changed between the count and fill
+// passes, so the capacities measured by pass 1 must be enforced here, not
+// merely asserted afterwards in Python.
 extern "C" int64_t seq_scan_fill(const char* data, int64_t size,
-                                 char* seq_out, int64_t* offsets) {
+                                 char* seq_out, int64_t cap,
+                                 int64_t* offsets, int64_t n_cap) {
   int64_t w = 0, r = 0;
   offsets[0] = 0;
   if (size == 0) return 0;
+  bool overflow = false;
   const auto copy_upper = [&](int64_t from, int64_t to) {
+    if (w + (to - from) > cap) { overflow = true; return; }
     copy_upper_bulk(data + from, seq_out + w, to - from);
     w += to - from;
   };
@@ -285,9 +291,11 @@ extern "C" int64_t seq_scan_fill(const char* data, int64_t size,
                 std::memchr(data + p, '\n', static_cast<size_t>(end - p)));
             const int64_t le = nl ? nl - data : end;
             copy_upper(p, le);
+            if (overflow) return -1;
             p = le + 1;
           }
         }
+        if (r + 1 > n_cap) return -1;
         offsets[++r] = w;
       }
       if (!gp) break;
@@ -304,6 +312,7 @@ extern "C" int64_t seq_scan_fill(const char* data, int64_t size,
     while (s < e && is_space(data[s])) ++s;       // python str.strip()
     while (e > s && is_space(data[e - 1])) --e;
     copy_upper(s, e);
+    if (overflow || r + 1 > n_cap) return -1;
     offsets[++r] = w;
     if (i < size) i = skip_line(data, i, size);  // '+'
     if (i < size) i = skip_line(data, i, size);  // quals
@@ -447,10 +456,12 @@ extern "C" void seq_scan_offsets_close(void* handle, int64_t* offsets) {
 }
 
 // fill pass into an exactly total_seq-sized buffer; closes the handle.
-extern "C" int64_t seq_scan_extract(void* handle, char* seq_out,
-                                    int64_t* offsets) {
+// cap / n_cap are the pass-1 measurements: exceeded = file changed = -1.
+extern "C" int64_t seq_scan_extract(void* handle, char* seq_out, int64_t cap,
+                                    int64_t* offsets, int64_t n_cap) {
   auto* sf = static_cast<ScanFile*>(handle);
-  const int64_t w = seq_scan_fill(sf->map, sf->size, seq_out, offsets);
+  const int64_t w =
+      seq_scan_fill(sf->map, sf->size, seq_out, cap, offsets, n_cap);
   if (sf->map)
     munmap(const_cast<char*>(sf->map), static_cast<size_t>(sf->size));
   close(sf->fd);
