@@ -79,15 +79,30 @@ def candidate_batch(fasta: str):
     return store, r1, rows2, e_o1, e_o2, e_n
 
 
+def _tile_spans(r1: np.ndarray):
+    """Per-tile (max-min) row spans of the r1-sorted candidate stream —
+    the quantity the MXU-fetch precondition bounds."""
+    from disco_tpu.overlap.fused_kernel import TILE
+    nt = len(r1) // TILE
+    if nt == 0:
+        return {"p50": 0, "p99": 0, "max": 0}
+    t = r1[:nt * TILE].reshape(nt, TILE)
+    spans = t.max(axis=1) - t.min(axis=1)
+    return {"p50": int(np.percentile(spans, 50)),
+            "p99": int(np.percentile(spans, 99)),
+            "max": int(spans.max())}
+
+
 def main() -> None:
     import jax
     from disco_tpu.overlap.verify import make_packed_all, verify_windows
 
     # DISCO_TPU_BENCH_PATH selects the measured verify implementation
-    # (default fused_mxu2: fused Pallas kernel with the DMA + one-hot MXU
-    # row expansion for the sorted r1 side; "fused" = gather-only variant;
-    # "xla" = the round-3 align path)
-    path = os.environ.get("DISCO_TPU_BENCH_PATH", "fused_mxu2")
+    # (default fused_mxu3: BOTH row fetches inside the kernel over the
+    # BFS-relabeled locality layout — no per-pair gather at all;
+    # "fused_mxu2" = r1 in-kernel + r2 XLA gather; "fused" = gather-only
+    # variant; "xla" = the round-3 align path)
+    path = os.environ.get("DISCO_TPU_BENCH_PATH", "fused_mxu3")
 
     with tempfile.TemporaryDirectory() as td:
         fasta = os.path.join(td, "bench.fasta")
@@ -97,19 +112,47 @@ def main() -> None:
         # the fori-loop harness amortizes reps, so a 256k-pair slice
         # measures the same per-pair rate while keeping host->device
         # transfer small (the tunneled chip moves MBs per second at best);
-        # the reference baseline stays normalized by the FULL workload
+        # the reference baseline stays normalized by the FULL workload.
+        # The slice is CONTIGUOUS (preserves the r1-sorted tile spans the
+        # MXU-fetch path depends on) but CENTERED — the head of the
+        # workload has atypically small spans, which would flatter the
+        # measured rate; the per-tile span p50/p99 of the full workload
+        # and of the slice are reported so the representativeness is
+        # checkable.
         cap = 1 << 18
+        span_stats = {}
+        from disco_tpu.overlap.fused_kernel import SPAN_ROWS, TILE
+        span_stats["full"] = _tile_spans(np.asarray(r1))
+        if path == "fused_mxu3":
+            # BFS-relabel over the FULL candidate graph for the
+            # both-sides-fetch kernel (host prep, like the candidate sort
+            # itself; ~0.9 s for 1.7M pairs — a slice-only graph is too
+            # sparse and BFS wanders, tools/exp_locality.py).  The kernel
+            # re-checks the span precondition in-graph and falls back if
+            # violated.
+            from disco_tpu.overlap.locality import relabel_workload
+            from disco_tpu.overlap.verify import make_packed_all
+            pa = np.asarray(make_packed_all(store.packed, store.packed_rc))
+            (pa_relab, r1, rows2, _perm, _label, o1, o2, n) = \
+                relabel_workload(store.n_reads, pa, r1, rows2, o1, o2, n)
+            store._packed_relab = pa_relab
+            span_stats["mxu3_r2"] = _tile_spans(np.asarray(rows2))
         if len(r1) > cap:
-            r1, rows2, o1, o2, n = (x[:cap] for x in (r1, rows2, o1, o2, n))
+            s0 = ((len(r1) - cap) // 2 // TILE) * TILE
+            r1, rows2, o1, o2, n = (x[s0:s0 + cap]
+                                    for x in (r1, rows2, o1, o2, n))
+        span_stats["slice"] = _tile_spans(np.asarray(r1))
+        if path == "fused_mxu3":
+            span_stats["relabeled_r2_full"] = span_stats.pop("mxu3_r2")
+            span_stats["relabeled_r2_slice"] = _tile_spans(np.asarray(rows2))
         if path in ("fused_mxu", "fused_mxu2"):
-            # the MXU-fetch kernel requires sorted r1 with small per-tile
-            # spans (guaranteed by the window-scan order at this geometry;
-            # guard anyway and fall back rather than risk wrong one-hots)
-            from disco_tpu.overlap.fused_kernel import SPAN_ROWS, TILE
+            # the MXU-fetch kernel checks its sorted/span precondition
+            # IN-GRAPH and falls back per batch; trip the coarse host
+            # guard only to label the recorded path honestly
             nt = len(r1) // TILE
             r1t = np.asarray(r1[:nt * TILE]).reshape(nt, TILE)
             span = int((r1t.max(axis=1) - r1t.min(axis=1)).max())
-            if (r1t[:, 1:] < r1t[:, :-1]).any() or span >= SPAN_ROWS - 4:
+            if (r1t[:, 1:] < r1t[:, :-1]).any() or span >= SPAN_ROWS:
                 print(f"# fused_mxu span/sort guard tripped (span={span});"
                       " falling back to fused", file=sys.stderr)
                 path = "fused"
@@ -121,16 +164,29 @@ def main() -> None:
             lines_np, _ = pack_lines(packed_np)
             packed_np = ((lines_np, packed_np) if path == "fused_mxu2"
                          else lines_np)
+        elif path == "fused_mxu3":
+            # 16-word int8 layout for <=256 bp reads (half the one-hot
+            # FLOPs, 2x MXU rate); 32-word bf16 layout otherwise
+            if store.n_words <= 16:
+                from disco_tpu.overlap.fused_kernel import pack_lines16
+                packed_np, _ = pack_lines16(store._packed_relab)
+            else:
+                from disco_tpu.overlap.fused_kernel import pack_lines
+                packed_np, _ = pack_lines(store._packed_relab)
         packed_all = jax.device_put(packed_np)  # pytree ok
         if path == "xla":
             verify_fn = verify_windows
         else:
             from disco_tpu.overlap.fused_kernel import (
                 verify_windows_fused, verify_windows_fused_mxu,
-                verify_windows_fused_t)
+                verify_windows_fused_mxu_both,
+                verify_windows_fused_mxu_both16, verify_windows_fused_t)
             verify_fn = {"fused_t": verify_windows_fused_t,
                          "fused_mxu": verify_windows_fused_mxu,
                          "fused_mxu2": verify_windows_fused_mxu,
+                         "fused_mxu3": (verify_windows_fused_mxu_both16
+                                        if store.n_words <= 16 else
+                                        verify_windows_fused_mxu_both),
                          }.get(path, verify_windows_fused)
         total = len(r1)
         dev = [jax.device_put(x) for x in (r1, rows2, o1, o2, n)]
@@ -153,8 +209,19 @@ def main() -> None:
         @jax.jit
         def bench_kernel(packed_all, r1, rows2, o1, o2, n, iters):
             def body(i, acc):
-                o1x = o1 + (i % 2).astype(o1.dtype)  # defeat hoisting
-                ok = verify_fn(packed_all, r1, rows2, o1x, o2, n,
+                # roll EVERY input by a whole number of kernel tiles per
+                # iteration: pairs stay intact (the verified set — and
+                # its sum — is iteration-invariant) and per-tile contents
+                # are preserved (tile-multiple shifts keep the sorted/span
+                # preconditions), but the GATHER/FETCH indices become
+                # i-dependent, so XLA's LICM cannot hoist the row fetches
+                # out of the loop (round-4 lesson: with loop-invariant
+                # rows the gathers hoist and the "measured" rate becomes
+                # the align-kernel-only fiction, ~1.4e9)
+                sh = (i % 4) * 1024
+                r1x, rows2x, o1x, o2x, nx = (
+                    jnp.roll(x, sh) for x in (r1, rows2, o1, o2, n))
+                ok = verify_fn(packed_all, r1x, rows2x, o1x, o2x, nx,
                                n_words=n_words)
                 return acc + ok.sum(dtype=jnp.int64)
             return lax.fori_loop(0, iters, body, jnp.int64(0))
@@ -184,6 +251,7 @@ def main() -> None:
         "unit": "pairs/s",
         "vs_baseline": (round(rate / baseline, 2) if baseline else None),
         "verify_path": path,
+        "tile_spans": span_stats,
     }
     # merge the cached end-to-end buildG wall clocks (tools/bench_e2e.py:
     # device backend vs native backend vs reference, byte-identical

@@ -49,11 +49,19 @@ class DeviceOverlapResult(NamedTuple):
 
 
 def candidate_checks(packed_all, lengths, qread, qj, r2, orient, valid,
-                     *, k, n_words, fused=None):
+                     *, k, n_words, fused=None, packed_lines=None):
     """Shared geometry + verification for a (Q, H) candidate grid
     (reference: OverlapGraph.cpp:517-595).  Returns (edge_ok, cont_ok).
     Used by the single-chip pipeline below and the sharded superstep
     (disco_tpu.dist.overlap_shard).
+
+    When `packed_lines` (the pack_lines layout of packed_all) is given
+    and the fused TPU path is active, the r1 side skips the XLA row
+    gather entirely: candidates arrive r1-sorted (window-scan order), so
+    the fused kernel fetches each tile's rows by pipelined line-block DMA
+    + one-hot MXU expansion (fused_kernel.fused_compare_dual_mxu); the
+    sorted/span precondition is verified in-graph with an automatic
+    fallback.
 
     Internally everything runs over FLAT (Q*H,) vectors: a (Q, 16) u32
     array tiles as T(8, 128) on TPU — 8x pad expansion on the 16-wide
@@ -93,10 +101,35 @@ def candidate_checks(packed_all, lengths, qread, qj, r2, orient, valid,
     # HBM intermediates, fused_kernel._dual_kernel); elsewhere (CPU mesh
     # tests) the XLA roll-align path is used — outputs are identical
     # (tests/test_fused_kernel.py).
-    blk1 = packed_all[rows1]
-    blk2 = packed_all[rows2]
-    edge_ok, cont_ok = _dual_check(blk1, blk2, e_o1, e_o2, e_n, c_o1, c_n,
-                                   n_words=n_words, fused=fused)
+    import jax as _jax
+    if fused is None:
+        fused = _jax.default_backend() == "tpu"
+    if fused and packed_lines is not None:
+        from .fused_kernel import TILE, W32, fused_compare_dual_mxu
+        p = rows1.shape[0]
+        pad = (-p) % TILE
+        if pad:
+            # repeat the last row (keeps the tile span precondition)
+            rows1 = jnp.concatenate(
+                [rows1, jnp.broadcast_to(rows1[-1], (pad,))])
+            rows2 = jnp.concatenate(
+                [rows2, jnp.broadcast_to(rows2[-1], (pad,))])
+            z = jnp.zeros(pad, jnp.int32)
+            e_o1, e_o2, e_n, c_o1, c_n = (
+                jnp.concatenate([x.astype(jnp.int32), z])
+                for x in (e_o1, e_o2, e_n, c_o1, c_n))
+        pp = p + pad
+        b17 = packed_all[rows2].T                       # (Wp, pp)
+        b = jnp.concatenate(
+            [b17, jnp.zeros((W32 - b17.shape[0], pp), jnp.uint32)], axis=0)
+        edge_ok, cont_ok = fused_compare_dual_mxu(
+            packed_lines, b, rows1, e_o1, e_o2, e_n, c_o1, c_n)
+        edge_ok, cont_ok = edge_ok[:p], cont_ok[:p]
+    else:
+        blk1 = packed_all[rows1]
+        blk2 = packed_all[rows2]
+        edge_ok, cont_ok = _dual_check(blk1, blk2, e_o1, e_o2, e_n, c_o1,
+                                       c_n, n_words=n_words, fused=fused)
     edge_ok &= e_valid
     cont_ok &= c_valid
     return edge_ok.reshape(q, h), cont_ok.reshape(q, h)
@@ -320,7 +353,8 @@ def device_overlap_compact(packed, packed_all, lengths, starts, keys, tread,
     jax.jit,
     static_argnames=("k", "n_words", "max_len", "cand_cap", "out_cap"))
 def device_overlap_dense(packed, packed_all, lengths, starts, tmeta,
-                         keys, *, k, n_words, max_len, cand_cap, out_cap):
+                         keys, *, k, n_words, max_len, cand_cap, out_cap,
+                         packed_lines=None):
     """Dense-candidate device overlap step — the production formulation.
 
     Instead of a (Q, hit_cap) candidate grid (mostly invalid slots: mean
@@ -381,7 +415,7 @@ def device_overlap_dense(packed, packed_all, lengths, starts, tmeta,
     cj = qj[cwin]
     edge_ok, cont_ok = candidate_checks(
         packed_all, lengths, cread, cj, r2[:, None], orient[:, None],
-        cvalid[:, None], k=k, n_words=n_words)
+        cvalid[:, None], k=k, n_words=n_words, packed_lines=packed_lines)
     edge_ok = edge_ok[:, 0]
     cont_ok = cont_ok[:, 0]
 
@@ -458,6 +492,13 @@ class DeviceOverlapEngine:
             (table.read.astype(np.int32) << 3)
             | (table.orient.astype(np.int32) << 1)
             | table.typ.astype(np.int32)))
+        # line-packed layout for the in-kernel r1 fetch (TPU only — the
+        # MXU-fetch kernel needs a real Mosaic backend)
+        self.packed_lines = None
+        if jax.default_backend() == "tpu":
+            from .fused_kernel import pack_lines
+            lines, _ = pack_lines(np.asarray(self.packed_all))
+            self.packed_lines = jax.device_put(lines)
 
     def window_starts(self) -> np.ndarray:
         lens = self.store.lengths.astype(np.int64)
@@ -509,7 +550,8 @@ class DeviceOverlapEngine:
             self.packed, self.packed_all, self.lengths,
             jnp.asarray(starts), self.tmeta, self.keys, k=self.k,
             n_words=self.store.n_words, max_len=self.store.max_len,
-            cand_cap=cand_cap, out_cap=out_cap)
+            cand_cap=cand_cap, out_cap=out_cap,
+            packed_lines=self.packed_lines)
 
     def run_dense_chunked(self, starts: np.ndarray, chunk: int = 1 << 20,
                           cand_cap: int = None, out_cap: int = None):
