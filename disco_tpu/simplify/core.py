@@ -20,6 +20,24 @@ Parity-critical semantics mirrored from the reference
 from bisect import bisect_left, bisect_right, insort
 from typing import Iterator, List, Optional, Tuple
 
+import numpy as np
+
+
+class _Cols:
+    """Columnar bulk leaf payload: (rid int32, ori int8, off int32)
+    arrays.  ~9 B per inner read instead of the ~120 B of a Python
+    triple-tuple + ints — the simplify graph's dominant allocation at
+    metagenome scale (docs/MEMORY_PLAN.md)."""
+    __slots__ = ("rid", "ori", "off")
+
+    def __init__(self, rid, ori, off):
+        self.rid = rid
+        self.ori = ori
+        self.off = off
+
+    def __len__(self):
+        return len(self.rid)
+
 
 # ---------------------------------------------------------------------------
 # inner-read rope
@@ -27,17 +45,22 @@ from typing import Iterator, List, Optional, Tuple
 class Rope:
     """Immutable sequence of (readID, orient, offset) triples with O(1)
     concat.  `orient` is 1 bit (1 = forward), `offset` the inner overlap
-    offset (reference packing: Edge.h:28-39)."""
-    __slots__ = ("left", "right", "leaf", "n", "_flat", "_psum", "_fmt")
+    offset (reference packing: Edge.h:28-39).
 
-    def __init__(self, leaf: Optional[Tuple] = None,
-                 left: "Rope" = None, right: "Rope" = None):
+    Leaves are either small Python tuples (merge-path shared nodes) or
+    columnar numpy triples (bulk edge-file loads); access goes through
+    cached COLUMNS (`columns()`), with per-item tuples built transiently
+    — the old tuple-of-tuples flat cache held ~85% of the graph's RSS in
+    pure object overhead."""
+    __slots__ = ("left", "right", "leaf", "n", "_cols", "_psum", "_fmt")
+
+    def __init__(self, leaf=None, left: "Rope" = None, right: "Rope" = None):
         self.leaf = leaf
         self.left = left
         self.right = right
         self.n = (len(leaf) if leaf is not None
                   else (left.n if left else 0) + (right.n if right else 0))
-        self._flat = leaf if leaf is not None else None
+        self._cols = leaf if isinstance(leaf, _Cols) else None
         self._psum = None
         self._fmt = None
 
@@ -49,7 +72,7 @@ class Rope:
         entry at 10 Mb)."""
         if self._fmt is None:
             # iterative left-to-right walk (concat chains can be thousands
-            # deep — same reason flat() uses an explicit stack), reusing
+            # deep — same reason columns() uses an explicit stack), reusing
             # any already-cached subtree strings
             parts = []
             stack = [self]
@@ -58,8 +81,15 @@ class Rope:
                 if r._fmt is not None:
                     parts.append(r._fmt)
                 elif r.leaf is not None:
-                    r._fmt = "".join(
-                        f"({a},{b},{c})" for (a, b, c) in r.leaf)
+                    if isinstance(r.leaf, _Cols):
+                        c = r.leaf
+                        r._fmt = "".join(
+                            f"({a},{b},{c_})" for a, b, c_ in
+                            zip(c.rid.tolist(), c.ori.tolist(),
+                                c.off.tolist()))
+                    else:
+                        r._fmt = "".join(
+                            f"({a},{b},{c})" for (a, b, c) in r.leaf)
                     parts.append(r._fmt)
                 else:
                     if r.right is not None and r.right.n:
@@ -77,6 +107,15 @@ class Rope:
         items = tuple(items)
         return Rope(leaf=items) if items else Rope.EMPTY
 
+    @staticmethod
+    def of_arrays(rid, ori, off) -> "Rope":
+        """Bulk columnar leaf (edge-file loads, vectorized rev lists)."""
+        if len(rid) == 0:
+            return Rope.EMPTY
+        return Rope(leaf=_Cols(np.ascontiguousarray(rid, np.int32),
+                               np.ascontiguousarray(ori, np.int8),
+                               np.ascontiguousarray(off, np.int32)))
+
     def concat(self, other: "Rope") -> "Rope":
         if self.n == 0:
             return other
@@ -85,44 +124,69 @@ class Rope:
         return Rope(left=self, right=other)
 
     # -- access -------------------------------------------------------------
-    def flat(self) -> Tuple:
-        if self._flat is None:
-            parts: List[Tuple] = []
-            stack = [self]
-            while stack:
-                r = stack.pop()
-                if r.leaf is not None:
-                    parts.append(r.leaf)
+    def _leaves(self):
+        parts = []
+        stack = [self]
+        while stack:
+            r = stack.pop()
+            if r._cols is not None:
+                parts.append(r._cols)
+            elif r.leaf is not None:
+                parts.append(r.leaf)
+            else:
+                if r.right is not None:
+                    stack.append(r.right)
+                if r.left is not None:
+                    stack.append(r.left)
+        return parts
+
+    def columns(self) -> _Cols:
+        """Concatenated (rid, ori, off) columns — the CACHED accessor
+        (9 B/item).  Tuple leaves convert transiently."""
+        if self._cols is None:
+            rid = np.empty(self.n, np.int32)
+            ori = np.empty(self.n, np.int8)
+            off = np.empty(self.n, np.int32)
+            w = 0
+            for p in self._leaves():
+                m = len(p)
+                if isinstance(p, _Cols):
+                    rid[w:w + m] = p.rid
+                    ori[w:w + m] = p.ori
+                    off[w:w + m] = p.off
                 else:
-                    if r.right is not None:
-                        stack.append(r.right)
-                    if r.left is not None:
-                        stack.append(r.left)
-            out: List = []
-            for p in parts:
-                out.extend(p)
-            self._flat = tuple(out)
-        return self._flat
+                    for i, (a, b, c) in enumerate(p):
+                        rid[w + i] = a
+                        ori[w + i] = b
+                        off[w + i] = c
+                w += m
+            self._cols = _Cols(rid, ori, off)
+        return self._cols
+
+    def flat(self) -> Tuple:
+        """Tuple-of-triples view — TRANSIENT (rebuilt per call, not
+        cached); prefer columns()/iteration in anything hot."""
+        c = self.columns()
+        return tuple(zip(c.rid.tolist(), c.ori.tolist(), c.off.tolist()))
 
     def __len__(self) -> int:
         return self.n
 
     def __getitem__(self, i):
-        return self.flat()[i]
+        c = self.columns()
+        return (int(c.rid[i]), int(c.ori[i]), int(c.off[i]))
 
     def __iter__(self) -> Iterator:
-        return iter(self.flat())
+        c = self.columns()
+        return zip(c.rid.tolist(), c.ori.tolist(), c.off.tolist())
 
-    def offset_prefix(self) -> Tuple:
+    def offset_prefix(self):
         """psum[i] = sum of offsets of items [0, i); length n+1
         (reference: Edge::getInnerOverlapSum, Edge.cpp:136-142)."""
         if self._psum is None:
-            acc = 0
-            out = [0]
-            for (_r, _o, off) in self.flat():
-                acc += off
-                out.append(acc)
-            self._psum = tuple(out)
+            ps = np.zeros(self.n + 1, np.int64)
+            np.cumsum(self.columns().off, out=ps[1:])
+            self._psum = ps
         return self._psum
 
     def offset_sum(self, start: int, end: int) -> int:
@@ -131,13 +195,16 @@ class Rope:
         end = min(end, self.n)
         if start >= end:
             return 0
-        return ps[end] - ps[start]
+        return int(ps[end] - ps[start])
 
     def first(self):
         """First triple without materializing (O(depth))."""
         r = self
         while r.leaf is None:
             r = r.left if (r.left is not None and r.left.n) else r.right
+        if isinstance(r.leaf, _Cols):
+            c = r.leaf
+            return (int(c.rid[0]), int(c.ori[0]), int(c.off[0]))
         return r.leaf[0]
 
 
@@ -272,7 +339,7 @@ class Edge:
             return False
         if a.n == 0:
             return True
-        return all(x[0] == y[0] for x, y in zip(a.flat(), b.flat()))
+        return bool(np.array_equal(a.columns().rid, b.columns().rid))
 
     def __repr__(self):
         return (f"Edge({self.src}->{self.dst} o{self.orient} off{self.offset}"

@@ -184,11 +184,14 @@ class SimplifyDataset:
             self.datasets.append(info)
 
         nn = self.size()
-        self.contained_flag = [False] * (nn + 1)
+        # columnar per-read state (numpy, not Python lists: at metagenome
+        # scale the list-of-int/bool forms alone were hundreds of MB)
+        self.lengths = np.asarray(self.lengths, np.int64)
+        self.contained_flag = np.zeros(nn + 1, bool)
         # per-read list of (containedReadID, ovlStart, orient)
         self.con_reads: List[Optional[List[Tuple[int, int, int]]]] = \
             [None] * (nn + 1)
-        self.used: List[bool] = [False] * (nn + 1)
+        self.used = np.zeros(nn + 1, bool)
         # read -> edge registrations: list of (edge, index, orient_bit)
         # orient_bit 0 => forward list, 1 => backward list
         self.edge_locs: List[List] = [None] * (nn + 1)
@@ -197,7 +200,10 @@ class SimplifyDataset:
         return len(self.lengths) - 1
 
     def read_len(self, rid: int) -> int:
-        return self.lengths[rid]
+        return int(self.lengths[rid])
+
+    def read_len_array(self) -> np.ndarray:
+        return self.lengths
 
     # -- contained reads ----------------------------------------------------
     def store_contained_read_info(self, files: List[str]) -> int:

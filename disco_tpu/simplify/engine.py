@@ -136,24 +136,27 @@ class FullGraph:
                 offset = int(info[1])
                 flow = int(info[5]) if len(info) > 5 else 0
 
-                inner: List[Tuple[int, int, int]] = []
+                n_inner = 0
                 used_ctr = 0
                 unused_mate = 0
+                rope = Rope.EMPTY
                 if len(tok) > 3 and tok[3]:
-                    flat = list(map(int,
-                                    tok[3][1:-1].replace(")(", ",")
-                                    .split(",")))
-                    it = iter(flat)
-                    inner = list(zip(it, it, it))
-                    rids = np.asarray(flat[0::3])
+                    flat = np.array(
+                        tok[3][1:-1].replace(")(", ",").split(","),
+                        dtype=np.int64)
+                    n_inner = len(flat) // 3
+                    rids = flat[0::3]
                     used_ctr = int(np.count_nonzero(used_np[rids]))
                     mates = mate_np[rids]
                     unused_mate = int(np.count_nonzero(
                         (mates > 0) & ~used_np[mates]))
-                if self._is_used_edge(len(inner), used_ctr, unused_mate,
+                if self._is_used_edge(n_inner, used_ctr, unused_mate,
                                       src, dst):
                     continue
-                rope = Rope.of(inner)
+                if n_inner:
+                    # columnar leaf: ~9 B per inner read instead of the
+                    # tuple-of-tuples' ~120 B (docs/MEMORY_PLAN.md)
+                    rope = Rope.of_arrays(rids, flat[1::3], flat[2::3])
                 fwd = Edge(self.alloc, src, d.read_len(src), dst,
                            d.read_len(dst), orient, offset, inner=rope,
                            flow=flow)
@@ -170,25 +173,22 @@ class FullGraph:
                     free_pair(self.alloc, fwd)
 
     def _rev_list(self, fwd: Edge) -> Rope:
-        """reference: createRevList (Edge.cpp:456-487)."""
-        if fwd.inner.n == 0:
+        """reference: createRevList (Edge.cpp:456-487), vectorized over
+        the columnar inner list.  With t_i = total - len(rid_i) -
+        fwd_psum_i (in reverse order), the running-subtraction recurrence
+        off_i = t_i - sum(off_{<i}) telescopes to off_i = t_i - t_{i-1}."""
+        inner = fwd.inner
+        if inner.n == 0:
             return Rope.EMPTY
-        d = self.d
-        items = []
-        flat = fwd.inner.flat()
-        ps = fwd.inner.offset_prefix()
+        c = inner.columns()
+        ps = inner.offset_prefix()
         total = fwd.edge_length()
-        off_sum = 0
-        n = len(flat)
-        for i in range(n):
-            ri = n - 1 - i
-            rid, ori, _off = flat[ri]
-            rev_ori = 0 if ori == 1 else 1
-            fwd_off_sum = ps[ri + 1]
-            off = total - d.read_len(rid) - fwd_off_sum - off_sum
-            off_sum += off
-            items.append((rid, rev_ori, off))
-        return Rope.of(items)
+        lens = self.d.read_len_array()
+        rid_rev = c.rid[::-1]
+        t = (total - lens[rid_rev]
+             - np.asarray(ps[1:][::-1], np.int64))
+        off = np.diff(t, prepend=0)
+        return Rope.of_arrays(rid_rev, 1 - c.ori[::-1], off)
 
     def _is_used_edge(self, n_inner: int, used_ctr: int, unused_mate: int,
                       src: int, dst: int) -> bool:
@@ -495,13 +495,11 @@ class FullGraph:
         length = e.edge_length()
         if not e.inner.n:
             return np.zeros(length, np.int64)
-        flat = e.inner.flat()
-        n = len(flat)
-        rids = np.fromiter((t[0] for t in flat), np.int64, n)
-        roffs = np.fromiter((t[2] for t in flat), np.int64, n)
-        ovl = np.cumsum(roffs)
-        lens = np.fromiter((self.d.read_len(int(r)) for r in rids),
-                           np.int64, n)
+        cols = e.inner.columns()
+        n = e.inner.n
+        rids = cols.rid.astype(np.int64)
+        ovl = np.cumsum(cols.off.astype(np.int64))
+        lens = self.d.read_len_array()[rids]
         ends = np.minimum(ovl + lens, length)
         diff = np.zeros(length + 1, np.int64)
         base = ends > ovl

@@ -469,14 +469,14 @@ def _merged_orient_disconnected(e1: Edge, e2: Edge) -> int:
 
 def _merge_list_disconnected(d, e1: Edge, e2: Edge,
                              overlap_offset: int) -> Tuple[Rope, int]:
-    items = list(e1.inner)
     s = e1.inner_sum
     ori1 = 1 if e1.orient in (1, 3) else 0
-    items.append((e1.dst, ori1, e1.offset - s))
     ori2 = 1 if e2.orient in (2, 3) else 0
-    items.append((e2.src, ori2, overlap_offset))
-    items.extend(e2.inner)
-    rope = Rope.of(items)
+    # O(1) rope concat (no flattening into tuples — scaffold merges chain
+    # the biggest inner lists in the whole run)
+    mid = Rope.of([(e1.dst, ori1, e1.offset - s),
+                   (e2.src, ori2, overlap_offset)])
+    rope = e1.inner.concat(mid).concat(e2.inner)
     inner_sum = e1.offset + overlap_offset + e2.inner_sum
     return rope, inner_sum
 

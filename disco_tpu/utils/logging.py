@@ -34,7 +34,11 @@ def _rss_mb() -> float:
 
 @contextmanager
 def clock(name: str):
-    """CLOCKSTART/CLOCKSTOP equivalent: wall seconds + RSS delta."""
+    """CLOCKSTART/CLOCKSTOP equivalent: wall seconds + RSS delta.
+
+    DISCO_TPU_TRACEMALLOC=N additionally prints the top-N allocation
+    sites (grouped by line) live at phase exit — the memory-diet
+    diagnostic used for docs/MEMORY_PLAN.md."""
     t0 = time.perf_counter()
     m0 = _rss_mb()
     log.debug(">>> %s()", name)
@@ -43,3 +47,12 @@ def clock(name: str):
     finally:
         log.info("<<< %s(): %.3fs, rss %.0f -> %.0f MB", name,
                  time.perf_counter() - t0, m0, _rss_mb())
+        topn = int(os.environ.get("DISCO_TPU_TRACEMALLOC", "0") or 0)
+        if topn:
+            import tracemalloc
+            if not tracemalloc.is_tracing():
+                tracemalloc.start()
+            else:
+                snap = tracemalloc.take_snapshot()
+                for stat in snap.statistics("lineno")[:topn]:
+                    log.info("    [mem] %s", stat)
