@@ -591,3 +591,112 @@ def mcmf_solve(v_nodes: int, tail, head, lb, ub, cost) -> np.ndarray:
     if rc != 0:
         raise RuntimeError("infeasible flow problem")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Read -> edge back-index arena (backindex.cpp)
+# ---------------------------------------------------------------------------
+_BACKINDEX = None
+
+
+def _backindex_lib():
+    global _BACKINDEX
+    if _BACKINDEX is None:
+        with _LOCK:
+            if _BACKINDEX is None:
+                lib = _compile("backindex", opt="-O2")
+                p32 = ctypes.POINTER(ctypes.c_int32)
+                pi8 = ctypes.POINTER(ctypes.c_int8)
+                p64 = ctypes.POINTER(ctypes.c_int64)
+                lib.backindex_new.argtypes = [ctypes.c_int64]
+                lib.backindex_new.restype = ctypes.c_void_p
+                lib.backindex_free.argtypes = [ctypes.c_void_p]
+                lib.backindex_free.restype = None
+                lib.backindex_add_bulk.argtypes = [
+                    ctypes.c_void_p, p32, pi8, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64]
+                lib.backindex_add_bulk.restype = None
+                lib.backindex_remove_bulk.argtypes = [
+                    ctypes.c_void_p, p32, pi8, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64]
+                lib.backindex_remove_bulk.restype = None
+                lib.backindex_query.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                    p64, p64]
+                lib.backindex_query.restype = ctypes.c_int64
+                lib.backindex_count.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_int64]
+                lib.backindex_count.restype = ctypes.c_int64
+                lib.backindex_has.argtypes = [ctypes.c_void_p,
+                                              ctypes.c_int64]
+                lib.backindex_has.restype = ctypes.c_int32
+                lib.backindex_head_ptr.argtypes = [ctypes.c_void_p]
+                lib.backindex_head_ptr.restype = p32
+                lib.backindex_query_cap.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                    p64, p64, ctypes.c_int64]
+                lib.backindex_query_cap.restype = ctypes.c_int64
+                _BACKINDEX = lib
+    return _BACKINDEX
+
+
+class NativeBackIndex:
+    """ctypes wrapper over the backindex.cpp arena; see EdgeLocArena in
+    simplify/dataset.py for the public semantics."""
+    __slots__ = ("lib", "h", "_p32", "_pi8", "_p64", "head",
+                 "_qa", "_qi")
+
+    def __init__(self, n_reads: int):
+        self.lib = _backindex_lib()
+        self.h = self.lib.backindex_new(n_reads)
+        self._p32 = ctypes.POINTER(ctypes.c_int32)
+        self._pi8 = ctypes.POINTER(ctypes.c_int8)
+        self._p64 = ctypes.POINTER(ctypes.c_int64)
+        # zero-copy has-entries view (the C head vector is fixed-size)
+        self.head = np.ctypeslib.as_array(
+            self.lib.backindex_head_ptr(self.h), shape=(n_reads + 1,))
+        # reused query buffers (grown on demand)
+        self._qa = np.empty(64, np.int64)
+        self._qi = np.empty(64, np.int64)
+
+    def __del__(self):
+        if getattr(self, "h", None):
+            self.lib.backindex_free(self.h)
+            self.h = None
+
+    def add_bulk(self, rids: np.ndarray, ori_bits: np.ndarray, addr: int,
+                 idx0: int = 0):
+        rids = np.ascontiguousarray(rids, np.int32)
+        ori_bits = np.ascontiguousarray(ori_bits, np.int8)
+        self.lib.backindex_add_bulk(
+            self.h, rids.ctypes.data_as(self._p32),
+            ori_bits.ctypes.data_as(self._pi8), len(rids), addr, idx0)
+
+    def remove_bulk(self, rids: np.ndarray, ori_bits: np.ndarray, addr: int,
+                    idx0: int = 0):
+        rids = np.ascontiguousarray(rids, np.int32)
+        ori_bits = np.ascontiguousarray(ori_bits, np.int8)
+        self.lib.backindex_remove_bulk(
+            self.h, rids.ctypes.data_as(self._p32),
+            ori_bits.ctypes.data_as(self._pi8), len(rids), addr, idx0)
+
+    def query(self, rid: int, orient_bit: int):
+        """Single-call query into reused buffers; returns (addr_list,
+        idx_list) as Python lists (valid until the next query)."""
+        w = self.lib.backindex_query_cap(
+            self.h, rid, orient_bit, self._qa.ctypes.data_as(self._p64),
+            self._qi.ctypes.data_as(self._p64), len(self._qa))
+        if w < 0:
+            n = -w
+            self._qa = np.empty(2 * n, np.int64)
+            self._qi = np.empty(2 * n, np.int64)
+            w = self.lib.backindex_query_cap(
+                self.h, rid, orient_bit,
+                self._qa.ctypes.data_as(self._p64),
+                self._qi.ctypes.data_as(self._p64), len(self._qa))
+        if w == 0:
+            return None, None
+        return self._qa[:w].tolist(), self._qi[:w].tolist()
+
+    def has(self, rid: int) -> bool:
+        return bool(self.lib.backindex_has(self.h, rid))

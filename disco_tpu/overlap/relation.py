@@ -323,12 +323,69 @@ def _device_relation(store: ReadStore, table: FingerprintTable,
         parts["edge_ok"].append(((w0 >> 24) & 1).astype(bool))
         parts["cont_ok"].append(((w0 >> 25) & 1).astype(bool))
 
+    # 4-byte wire format (r2t | orient | flags | dwi + escape stream)
+    # halves the dominant tunnel transfer vs the 8-byte rows; requires
+    # the packed read id to fit its field (fallback: 8-byte format)
+    rbits = max(int(store.n_reads).bit_length() + 1, 8)
+    # test hook: force a wider read field (= narrower dwi field, more
+    # escapes) to exercise the escape stream on small fixtures
+    rbits = int(os.environ.get("DISCO_TPU_WIRE_RBITS", rbits))
+    wire32 = (32 - 4 - rbits) >= 4 and not os.environ.get(
+        "DISCO_TPU_WIRE64")
+    dbits = 32 - 4 - rbits
+    esc_code = (1 << dbits) - 1
+
+    def collect32(s, n_real, word, esc_stream, meta):
+        meta = np.asarray(meta)       # pull 1: [n_hits, n_cand, n_esc]
+        count = int(meta[0])
+        if int(meta[1]) > cand_cap or count > chunk:
+            fallback_windows.append(np.arange(s, s + n_real))
+            return
+        w = np.asarray(word[:count]).view(np.uint32)   # pull 2
+        n_esc = int(meta[2])
+        esc_vals = (np.asarray(esc_stream[:n_esc]).astype(np.int64)
+                    if n_esc else np.zeros(0, np.int64))  # pull 3 (rare)
+        dwi = (w & esc_code).astype(np.int64)
+        # window-index reconstruction: cumsum of deltas with absolute
+        # resets at escapes (value esc_code), forward-filled adjustment
+        c = np.cumsum(np.where(dwi == esc_code, 0, dwi))
+        ep = np.flatnonzero(dwi == esc_code)
+        if len(ep):
+            assert len(ep) == n_esc, (len(ep), n_esc)
+            vals = esc_vals - c[ep]
+            # forward-fill: adjustment active from each escape onward
+            a = np.zeros(count, np.int64)
+            a[ep] = np.concatenate([[vals[0]], np.diff(vals)])
+            wi = c + np.cumsum(a)
+        else:
+            wi = c
+        sel = wi < n_real
+        gwi = s + wi[sel]
+        ws = w[sel]
+        parts["r1"].append(qread[gwi])
+        parts["j"].append(qj[gwi])
+        r2t = (ws >> np.uint32(dbits + 4)).astype(np.int64)
+        parts["r2"].append((r2t >> 1).astype(np.int32))
+        parts["typ"].append((r2t & 1).astype(np.int8))
+        parts["orient"].append(
+            ((ws >> np.uint32(dbits + 2)) & 3).astype(np.int8))
+        flags = ((ws >> np.uint32(dbits)) & 3).astype(np.int8) + 1
+        parts["edge_ok"].append((flags & 1).astype(bool))
+        parts["cont_ok"].append((flags & 2).astype(bool))
+
     s = 0
-    for n_real, data, meta in eng.run_dense_chunked(starts, chunk=chunk,
-                                                    cand_cap=cand_cap,
-                                                    out_cap=chunk):
-        collect(s, n_real, data, meta)
-        s += n_real
+    if wire32:
+        for n_real, word, esc_stream, meta in eng.run_dense32_chunked(
+                starts, chunk=chunk, cand_cap=cand_cap, out_cap=chunk,
+                rbits=rbits):
+            collect32(s, n_real, word, esc_stream, meta)
+            s += n_real
+    else:
+        for n_real, data, meta in eng.run_dense_chunked(starts, chunk=chunk,
+                                                        cand_cap=cand_cap,
+                                                        out_cap=chunk):
+            collect(s, n_real, data, meta)
+            s += n_real
 
     if fallback_windows:
         ow = np.concatenate(fallback_windows)

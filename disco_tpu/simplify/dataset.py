@@ -144,6 +144,64 @@ def iter_fasta_records(path: str):
                 yield h.rstrip("\n"), s
 
 
+class EdgeLocArena:
+    """Read -> edge back-index over the native slot arena
+    (native/backindex.cpp; reference: Read::edgeP[]/edgeOriIndex[],
+    src/SimplifyGraph/src/Read.h:31-33).
+
+    Registrations are BULK per edge (one ctypes call per
+    updateReadsLocations) into per-read chains that preserve APPEND
+    order (the reference's vector push_back order is parity-relevant);
+    entries carry the edge's allocation serial, resolved back to the
+    Edge object through `by_addr`.  ~20 B/entry native vs ~150 B for
+    boxed-int flat lists — the top live allocation of the simplify phase
+    at metagenome scale (docs/MEMORY_PLAN.md)."""
+    __slots__ = ("nat", "by_addr")
+
+    def __init__(self, n_reads: int):
+        from .. import native
+        self.nat = native.NativeBackIndex(n_reads)
+        self.by_addr = {}
+
+    def __getitem__(self, rid: int) -> bool:
+        """Truthiness shim for `locs[rid]` has-any-entries checks
+        (zero-copy view of the native head array)."""
+        return self.nat.head[rid] >= 0
+
+    def add(self, rid: int, edge, key: int) -> None:
+        self.by_addr[edge.addr] = edge
+        self.nat.add_bulk(np.asarray([rid], np.int32),
+                          np.asarray([key & 1], np.int8), edge.addr,
+                          idx0=key >> 1)
+
+    def remove(self, rid: int, edge, key: int) -> None:
+        self.nat.remove_bulk(np.asarray([rid], np.int32),
+                             np.asarray([key & 1], np.int8), edge.addr,
+                             idx0=key >> 1)
+
+    def add_edge_bulk(self, edge, rids, ori_bits) -> None:
+        self.by_addr[edge.addr] = edge
+        self.nat.add_bulk(rids, ori_bits, edge.addr)
+
+    def remove_edge_bulk(self, edge, rids, ori_bits) -> None:
+        self.nat.remove_bulk(rids, ori_bits, edge.addr)
+        self.by_addr.pop(edge.addr, None)
+
+    def entries(self, rid: int, orient_bit: int) -> List[Tuple]:
+        if self.nat.head[rid] < 0:
+            return []
+        addr, idx = self.nat.query(rid, orient_bit)
+        if addr is None:
+            return []
+        by = self.by_addr
+        out = []
+        for a, i in zip(addr, idx):
+            e = by.get(a)
+            if e is not None:
+                out.append((e, i))
+        return out
+
+
 class SimplifyDataset:
     """Read table + mate-pair arithmetic + read->edge back-index."""
 
@@ -192,9 +250,8 @@ class SimplifyDataset:
         self.con_reads: List[Optional[List[Tuple[int, int, int]]]] = \
             [None] * (nn + 1)
         self.used = np.zeros(nn + 1, bool)
-        # read -> edge registrations: list of (edge, index, orient_bit)
-        # orient_bit 0 => forward list, 1 => backward list
-        self.edge_locs: List[List] = [None] * (nn + 1)
+        # read -> edge registrations (reference: Read::setEdge/delEdge)
+        self.edge_locs = EdgeLocArena(nn)
 
     def size(self) -> int:
         return len(self.lengths) - 1
@@ -357,48 +414,24 @@ class SimplifyDataset:
         raise ValueError(f"read {rid} not in any dataset")
 
     # -- read -> edge back-index (reference: Read::setEdge/delEdge) ---------
-    # Entries are stored FLAT, two list slots per location: the edge object
-    # then (idx << 1 | orient_bit) — no per-entry tuple objects.  At
-    # metagenome scale the back-index covers every read, and the tuple form
-    # was a top allocation of the simplify graph.
+    # Arena-backed (EdgeLocArena): per-entry state lives in numpy slot
+    # arrays + one Python pointer slot — ~20 B/entry instead of the ~150 B
+    # of boxed ints and per-read list objects, which were the top live
+    # allocation of the whole simplify phase (docs/MEMORY_PLAN.md).
     def set_edge(self, rid: int, edge: Edge, idx: int, orient_bit: int):
-        lst = self.edge_locs[rid]
-        if lst is None:
-            lst = []
-            self.edge_locs[rid] = lst
-        lst.append(edge)
-        lst.append(idx << 1 | orient_bit)
+        self.edge_locs.add(rid, edge, idx << 1 | orient_bit)
 
     def del_edge(self, rid: int, edge: Edge, idx: int, orient_bit: int):
-        lst = self.edge_locs[rid]
-        if not lst:
-            return
-        key = idx << 1 | orient_bit
-        for i in range(0, len(lst), 2):
-            if lst[i] is edge and lst[i + 1] == key:
-                del lst[i:i + 2]
-                return
-        # reference delEdge with no match decrements count anyway (drops the
-        # final entry); replicate
-        if lst:
-            del lst[-2:]
+        self.edge_locs.remove(rid, edge, idx << 1 | orient_bit)
 
     def clear_edge_info(self) -> None:
-        self.edge_locs = [None] * (self.size() + 1)
+        self.edge_locs = EdgeLocArena(self.size())
 
     def fwd_edges(self, rid: int) -> List[Tuple[Edge, int]]:
-        lst = self.edge_locs[rid]
-        if not lst:
-            return []
-        return [(lst[i], lst[i + 1] >> 1) for i in range(0, len(lst), 2)
-                if (lst[i + 1] & 1) == 0]
+        return self.edge_locs.entries(rid, 0)
 
     def bwd_edges(self, rid: int) -> List[Tuple[Edge, int]]:
-        lst = self.edge_locs[rid]
-        if not lst:
-            return []
-        return [(lst[i], lst[i + 1] >> 1) for i in range(0, len(lst), 2)
-                if (lst[i + 1] & 1) == 1]
+        return self.edge_locs.entries(rid, 1)
 
     # -- used reads ---------------------------------------------------------
     def load_used_reads(self, path: str) -> int:

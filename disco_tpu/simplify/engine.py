@@ -61,18 +61,13 @@ class FullGraph:
     def _update_read_locations(self, e: Edge, insert: bool) -> None:
         # reference: updateReadsLocations + updateEdgeInfo (:3736-3776)
         if e.inner.n:
+            cols = e.inner.columns()
+            # orient_bit: 0 for forward-oriented inner reads (ori&1 == 1)
+            ori_bits = (1 - (cols.ori & 1)).astype(np.int8)
             if insert:
-                locs = self.d.edge_locs
-                for i, (rid, ori, _off) in enumerate(e.inner):
-                    lst = locs[rid]
-                    if lst is None:
-                        locs[rid] = lst = []
-                    # flat two-slot encoding (see SimplifyDataset.set_edge)
-                    lst.append(e)
-                    lst.append(i << 1 | (0 if (ori & 1) == 1 else 1))
+                self.d.edge_locs.add_edge_bulk(e, cols.rid, ori_bits)
             else:
-                for i, (rid, ori, _off) in enumerate(e.inner):
-                    self.d.del_edge(rid, e, i, 0 if (ori & 1) == 1 else 1)
+                self.d.edge_locs.remove_edge_bulk(e, cols.rid, ori_bits)
 
     def insert_fwd_edge(self, e: Edge) -> None:
         lst = self.g.ensure(e.src)

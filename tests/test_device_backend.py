@@ -57,3 +57,24 @@ def test_default_backend_env(monkeypatch):
     monkeypatch.delenv("DISCO_TPU_BACKEND")
     # tests run under JAX_PLATFORMS=cpu -> native
     assert default_backend() == "native"
+
+
+def test_device_backend_wire32_escape_stream(monkeypatch):
+    """The 4-byte wire format's dwi escape path: forcing a wide read
+    field leaves a 4-bit delta field, so window-index gaps > 14 must ride
+    the escape side stream and still reconstruct exactly."""
+    monkeypatch.setenv("DISCO_TPU_WIRE_RBITS", "24")
+    store, table = _load()
+    want = compute_relation(store, table, backend="native")
+    got = _device_relation(store, table, chunk=1 << 14)
+    _assert_equal(got, want)
+
+
+def test_device_backend_wire64_env(monkeypatch):
+    """DISCO_TPU_WIRE64 forces the 8-byte row format (the fallback for
+    read counts too large for the packed field)."""
+    monkeypatch.setenv("DISCO_TPU_WIRE64", "1")
+    store, table = _load()
+    want = compute_relation(store, table, backend="native")
+    got = _device_relation(store, table, chunk=1 << 14)
+    _assert_equal(got, want)
