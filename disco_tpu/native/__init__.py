@@ -644,7 +644,7 @@ class NativeBackIndex:
     """ctypes wrapper over the backindex.cpp arena; see EdgeLocArena in
     simplify/dataset.py for the public semantics."""
     __slots__ = ("lib", "h", "_p32", "_pi8", "_p64", "head",
-                 "_qa", "_qi")
+                 "_qa", "_qi", "_qa_p", "_qi_p", "_query")
 
     def __init__(self, n_reads: int):
         self.lib = _backindex_lib()
@@ -655,9 +655,14 @@ class NativeBackIndex:
         # zero-copy has-entries view (the C head vector is fixed-size)
         self.head = np.ctypeslib.as_array(
             self.lib.backindex_head_ptr(self.h), shape=(n_reads + 1,))
-        # reused query buffers (grown on demand)
+        # reused query buffers (grown on demand) with their ctypes
+        # pointers precomputed — data_as per call dominated the
+        # per-read query cost at metagenome scale
         self._qa = np.empty(64, np.int64)
         self._qi = np.empty(64, np.int64)
+        self._qa_p = self._qa.ctypes.data_as(self._p64)
+        self._qi_p = self._qi.ctypes.data_as(self._p64)
+        self._query = self.lib.backindex_query_cap
 
     def __del__(self):
         if getattr(self, "h", None):
@@ -683,20 +688,89 @@ class NativeBackIndex:
     def query(self, rid: int, orient_bit: int):
         """Single-call query into reused buffers; returns (addr_list,
         idx_list) as Python lists (valid until the next query)."""
-        w = self.lib.backindex_query_cap(
-            self.h, rid, orient_bit, self._qa.ctypes.data_as(self._p64),
-            self._qi.ctypes.data_as(self._p64), len(self._qa))
+        w = self._query(self.h, rid, orient_bit, self._qa_p, self._qi_p,
+                        len(self._qa))
         if w < 0:
             n = -w
             self._qa = np.empty(2 * n, np.int64)
             self._qi = np.empty(2 * n, np.int64)
-            w = self.lib.backindex_query_cap(
-                self.h, rid, orient_bit,
-                self._qa.ctypes.data_as(self._p64),
-                self._qi.ctypes.data_as(self._p64), len(self._qa))
+            self._qa_p = self._qa.ctypes.data_as(self._p64)
+            self._qi_p = self._qi.ctypes.data_as(self._p64)
+            w = self._query(self.h, rid, orient_bit, self._qa_p,
+                            self._qi_p, len(self._qa))
         if w == 0:
             return None, None
         return self._qa[:w].tolist(), self._qi[:w].tolist()
 
     def has(self, rid: int) -> bool:
         return bool(self.lib.backindex_has(self.h, rid))
+
+
+def _seq_scan_window_bind(lib):
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    if not hasattr(lib.seq_scan_record_pos, "_bound"):
+        lib.seq_scan_record_pos.argtypes = [ctypes.c_void_p, p64]
+        lib.seq_scan_record_pos.restype = None
+        lib.seq_scan_extract_window.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64, p64, ctypes.c_int64]
+        lib.seq_scan_extract_window.restype = ctypes.c_int64
+        lib.seq_scan_close.argtypes = [ctypes.c_void_p]
+        lib.seq_scan_close.restype = None
+        lib.seq_scan_record_pos._bound = True
+
+
+def iter_record_windows(path: str, window_bytes: int = 64 << 20):
+    """Yield (seq_blob uint8, (m+1,) offsets, rec_lo) windows of ~
+    window_bytes of sequence each, covering all records of an
+    uncompressed FASTA/FASTQ file without ever holding the whole blob
+    (the reference's contig streamer reads record by record,
+    OverlapGraph.cpp:2148-2243).  Yields nothing (falls back) for files
+    the streaming scanner cannot handle; caller must check via the
+    returned handle sentinel: returns None if unsupported."""
+    lib = _readqc_lib()
+    _seq_scan_window_bind(lib)
+    n = ctypes.c_int64(0)
+    tot = ctypes.c_int64(0)
+    h = lib.seq_scan_open(os.fsencode(path), ctypes.byref(n),
+                          ctypes.byref(tot))
+    if not h:
+        return None
+    n = n.value
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    # per-record sequence-length boundaries + file positions
+    seq_off = np.zeros(n + 1, np.int64)
+    lib.seq_scan_offsets_fill = getattr(lib, "seq_scan_offsets_fill", None)
+    rec_pos = np.empty(max(n, 1), np.int64)
+    lib.seq_scan_record_pos(h, rec_pos.ctypes.data_as(p64))
+    # lengths boundaries come from another count walk; reuse rec-length
+    # info lazily per window instead (the fill pass recomputes offsets)
+    import os as _os
+    fsize = _os.path.getsize(path)
+
+    def gen():
+        try:
+            lo = 0
+            while lo < n:
+                hi = lo
+                start = rec_pos[lo]
+                # grow the window by file bytes (sequence <= file bytes)
+                while hi < n and (rec_pos[hi] - start) < window_bytes:
+                    hi += 1
+                file_hi = fsize if hi >= n else int(rec_pos[hi])
+                file_lo = int(rec_pos[lo])
+                cap = file_hi - file_lo
+                buf = np.empty(max(cap, 1), np.uint8)
+                offs = np.zeros(hi - lo + 1, np.int64)
+                w = lib.seq_scan_extract_window(
+                    h, file_lo, file_hi, _as_char_p(buf), cap,
+                    offs.ctypes.data_as(p64), hi - lo)
+                if w < 0:
+                    raise RuntimeError(
+                        f"{path}: window extract overflow at records "
+                        f"[{lo},{hi})")
+                yield buf[:w], offs, lo
+                lo = hi
+        finally:
+            lib.seq_scan_close(h)
+    return gen()

@@ -343,21 +343,47 @@ struct ScanFile {
   int64_t size = 0;
 };
 
+// windowed MADV_DONTNEED during a sequential scan, so the PEAK resident
+// set stays at one window instead of the whole file (peak RSS is what
+// the memory telemetry — and any parent accounting — sees).  Only ever
+// armed for file-backed mappings: DONTNEED would ZERO anonymous memory.
+struct ScanAdvisor {
+  const char* base = nullptr;
+  int64_t done = 0;
+  static constexpr int64_t kWindow = 64 << 20;
+  void maybe(int64_t pos) {
+    if (base && pos - done >= 2 * kWindow) {
+      int64_t upto = (pos - kWindow) & ~static_cast<int64_t>(4095);
+      if (upto > done) {
+        madvise(const_cast<char*>(base) + done,
+                static_cast<size_t>(upto - done), MADV_DONTNEED);
+        done = upto;
+      }
+    }
+  }
+};
+
 // counting pass that also totals sequence bytes, so the extract pass can
 // write into an exactly-sized buffer.  Returns record count, -1 on an
 // unknown leading byte.
 int64_t count_and_total(const char* data, int64_t size, int64_t* total_seq,
-                        int64_t* offsets = nullptr) {
+                        int64_t* offsets = nullptr,
+                        const char* madv_base = nullptr,
+                        int64_t* rec_pos = nullptr) {
   int64_t total = 0;
   int64_t n = 0;
+  ScanAdvisor adv;
+  adv.base = madv_base;
   if (offsets) offsets[0] = 0;
   if (size != 0 && data[0] == '>') {
     int64_t i = 1;
     for (;;) {
+      adv.maybe(i);
       const char* gp = static_cast<const char*>(
           std::memchr(data + i, '>', static_cast<size_t>(size - i)));
       const int64_t end = gp ? gp - data : size;
       if (end > i) {
+        if (rec_pos) rec_pos[n] = i - 1;  // the '>' byte
         ++n;
         const char* np = static_cast<const char*>(
             std::memchr(data + i, '\n', static_cast<size_t>(end - i)));
@@ -380,8 +406,11 @@ int64_t count_and_total(const char* data, int64_t size, int64_t* total_seq,
     return n;
   }
   if (size != 0 && data[0] == '@') {
+    int64_t hdr = 0;
     int64_t i = skip_line(data, 0, size);
     while (i < size) {
+      adv.maybe(i);
+      if (rec_pos) rec_pos[n] = hdr;
       int64_t st = i;
       i = skip_line(data, i, size);
       int64_t e = (i < size || data[size - 1] == '\n') ? i - 1 : i;
@@ -393,6 +422,7 @@ int64_t count_and_total(const char* data, int64_t size, int64_t* total_seq,
       if (i < size) i = skip_line(data, i, size);
       if (i < size) i = skip_line(data, i, size);
       if (i >= size) break;
+      hdr = i;
       i = skip_line(data, i, size);
     }
     *total_seq = total;
@@ -427,7 +457,8 @@ extern "C" void* seq_scan_open(const char* path, int64_t* n_records,
     sf->map = static_cast<const char*>(m);
     madvise(m, static_cast<size_t>(sf->size), MADV_SEQUENTIAL);
   }
-  *n_records = count_and_total(sf->map, sf->size, total_seq);
+  *n_records = count_and_total(sf->map, sf->size, total_seq, nullptr,
+                               sf->map);
   if (sf->size > 0)
     madvise(const_cast<char*>(sf->map), static_cast<size_t>(sf->size),
             MADV_DONTNEED);
@@ -448,7 +479,7 @@ extern "C" void* seq_scan_open(const char* path, int64_t* n_records,
 extern "C" void seq_scan_offsets_close(void* handle, int64_t* offsets) {
   auto* sf = static_cast<ScanFile*>(handle);
   int64_t tot = 0;
-  count_and_total(sf->map, sf->size, &tot, offsets);
+  count_and_total(sf->map, sf->size, &tot, offsets, sf->map);
   if (sf->map)
     munmap(const_cast<char*>(sf->map), static_cast<size_t>(sf->size));
   close(sf->fd);
@@ -467,4 +498,45 @@ extern "C" int64_t seq_scan_extract(void* handle, char* seq_out, int64_t cap,
   close(sf->fd);
   delete sf;
   return w;
+}
+
+
+// ---------------------------------------------------------------------------
+// Windowed record extraction: parse records [lo, hi) of an open scan
+// handle without materializing the whole-file sequence blob (the contig
+// streamer previously held an ~file-sized blob; the reference streams
+// record by record, OverlapGraph.cpp:2148-2243).
+// ---------------------------------------------------------------------------
+
+// record start FILE positions (n entries) for an open handle
+extern "C" void seq_scan_record_pos(void* handle, int64_t* rec_pos) {
+  auto* sf = static_cast<ScanFile*>(handle);
+  int64_t tot = 0;
+  count_and_total(sf->map, sf->size, &tot, nullptr, sf->map, rec_pos);
+}
+
+// extract records [lo, hi): fills seq_out (cap bytes) + offsets
+// (hi-lo+1 entries); file_lo/file_hi are rec_pos[lo] / rec_pos[hi] (or
+// size).  Returns total bytes or -1 on capacity overflow.  The consumed
+// file range is MADV_DONTNEED'd afterwards so sequential window sweeps
+// keep one window resident.
+extern "C" int64_t seq_scan_extract_window(void* handle, int64_t file_lo,
+                                           int64_t file_hi, char* seq_out,
+                                           int64_t cap, int64_t* offsets,
+                                           int64_t n_cap) {
+  auto* sf = static_cast<ScanFile*>(handle);
+  const int64_t w = seq_scan_fill(sf->map + file_lo, file_hi - file_lo,
+                                  seq_out, cap, offsets, n_cap);
+  const int64_t page_lo = file_lo & ~static_cast<int64_t>(4095);
+  madvise(const_cast<char*>(sf->map) + page_lo,
+          static_cast<size_t>(file_hi - page_lo), MADV_DONTNEED);
+  return w;
+}
+
+extern "C" void seq_scan_close(void* handle) {
+  auto* sf = static_cast<ScanFile*>(handle);
+  if (sf->map)
+    munmap(const_cast<char*>(sf->map), static_cast<size_t>(sf->size));
+  close(sf->fd);
+  delete sf;
 }

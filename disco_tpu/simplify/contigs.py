@@ -105,6 +105,7 @@ def load_sequences(graph: FullGraph, single_files: List[str],
     p_start = array("i")
     p_cap = array("i")
     edges_tab: list = []
+    np_parts: list = []  # vectorized inner-placement rows, per edge
 
     def add(rid, eidx, rc, mode, start, cap):
         p_rid.append(rid)
@@ -126,22 +127,40 @@ def load_sequences(graph: FullGraph, single_files: List[str],
             add(e.dst, eidx, not (e.orient & 1), 1, e.offset, 0)
             n = e.inner.n
             if n:
-                inner = list(e.inner)
-                last_cap = e.offset - e.inner_sum
-                pref = 0
-                for idx, (rid, ori, off) in enumerate(inner):
-                    pref += off
-                    cap = inner[idx + 1][2] if idx < n - 1 else last_cap
-                    add(rid, eidx, (ori & 1) != 1, 2, pref, cap)
+                # vectorized inner-placement rows straight from the
+                # columnar rope (a transient tuple list here held
+                # ~120 B/inner read at metagenome scale)
+                cols = e.inner.columns()
+                pref = np.cumsum(cols.off, dtype=np.int64)
+                cap = np.empty(n, np.int32)
+                cap[:n - 1] = cols.off[1:]
+                cap[n - 1] = e.offset - e.inner_sum
+                flags = (((cols.ori & 1) != 1).astype(np.int8)
+                         | np.int8(2 << 1))
+                np_parts.append((cols.rid.astype(np.int64),
+                                 np.full(n, eidx, np.int32), flags,
+                                 pref.astype(np.int32), cap))
 
-    rid_a = np.frombuffer(p_rid, np.int64)
+    parts_rid = [np.frombuffer(p_rid, np.int64)]
+    parts_eidx = [np.frombuffer(p_eidx, np.int32)]
+    parts_flags = [np.frombuffer(p_flags, np.int8)]
+    parts_start = [np.frombuffer(p_start, np.int32)]
+    parts_cap = [np.frombuffer(p_cap, np.int32)]
+    for t in np_parts:
+        parts_rid.append(t[0])
+        parts_eidx.append(t[1])
+        parts_flags.append(t[2])
+        parts_start.append(t[3])
+        parts_cap.append(t[4])
+    rid_a = np.concatenate(parts_rid)
     order = np.argsort(rid_a, kind="stable")
     rid_s = rid_a[order]
-    eidx_s = np.frombuffer(p_eidx, np.int32)[order]
-    flags_s = np.frombuffer(p_flags, np.int8)[order]
-    start_s = np.frombuffer(p_start, np.int32)[order]
-    cap_s = np.frombuffer(p_cap, np.int32)[order]
-    del p_rid, p_eidx, p_flags, p_start, p_cap, rid_a, order
+    eidx_s = np.concatenate(parts_eidx)[order]
+    flags_s = np.concatenate(parts_flags)[order]
+    start_s = np.concatenate(parts_start)[order]
+    cap_s = np.concatenate(parts_cap)[order]
+    del (p_rid, p_eidx, p_flags, p_start, p_cap, rid_a, order, np_parts,
+         parts_rid, parts_eidx, parts_flags, parts_start, parts_cap)
 
     def plan_range(rid):
         lo = int(np.searchsorted(rid_s, rid, side="left"))
@@ -182,9 +201,25 @@ def load_sequences(graph: FullGraph, single_files: List[str],
     rid = 1
     for group in (pair_files, inter_pair_files, single_files):
         for path in group:
+            # windowed native streaming: at metagenome scale the
+            # whole-file sequence blob (~the reads file size) dominated
+            # the emission phase's RSS; windows keep one ~64 MB slice
+            # resident (the reference streams record by record,
+            # OverlapGraph.cpp:2148-2243)
+            win = (native.iter_record_windows(path)
+                   if not path.endswith(".gz") else None)
+            if win is not None:
+                for blob, offs, _lo in win:
+                    mv = memoryview(blob)
+                    bounds = offs.tolist()
+                    for i in range(len(bounds) - 1):
+                        lo, hi = plan_range(rid)
+                        if lo < hi:
+                            feed(rid, bytes(mv[bounds[i]:bounds[i + 1]]),
+                                 lo, hi)
+                        rid += 1
+                continue
             blob, offs = iofasta.scan_records(path)
-            # per-read bytes are built only for reads the fill plan needs:
-            # no whole-file duplicate of the sequence blob
             mv = memoryview(blob)
             bounds = offs.tolist()
             for i in range(len(bounds) - 1):
@@ -222,8 +257,16 @@ def _print_edge_with_reads(graph: FullGraph, e: Edge, edge_f, used_f,
 def _print_edge_coverage(graph: FullGraph, e: Edge, cov_f,
                          name_id: int) -> None:
     vals = graph.coverage_values(e)
-    cov_f.write(f"contig_{name_id:010d}," +
-                ",".join(map(str, vals.tolist())) + ",\n")
+    cov_f.write(f"contig_{name_id:010d},")
+    # chunked text emission: a genome-scale scaffold's tolist() would
+    # box tens of millions of ints (~28 B each) at once
+    for s in range(0, len(vals), 1 << 20):
+        chunk = vals[s:s + (1 << 20)]
+        cov_f.write(",".join(map(str, chunk.tolist())))
+        cov_f.write(",")
+    if len(vals) == 0:
+        cov_f.write(",")
+    cov_f.write("\n")
 
 
 def stream_contigs(graph: FullGraph, single_files: List[str],

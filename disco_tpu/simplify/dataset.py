@@ -19,7 +19,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .core import Edge
+from .core import Edge, _Cols as _RopeCols
 
 
 @dataclass
@@ -185,6 +185,37 @@ class EdgeLocArena:
 
     def remove_edge_bulk(self, edge, rids, ori_bits) -> None:
         self.nat.remove_bulk(rids, ori_bits, edge.addr)
+        self.by_addr.pop(edge.addr, None)
+
+    def _rope_parts(self, rope):
+        """Yield (rids int32, ori_bits int8) per leaf, left to right —
+        registration never forces a top-level columns() cache (merged
+        scaffold ropes would otherwise pin an O(n * merge-depth) chain of
+        columnar caches through their subtree references)."""
+        for p in rope._leaves():
+            if isinstance(p, _RopeCols):
+                yield (p.rid, (1 - (p.ori & 1)).astype(np.int8))
+            else:
+                n = len(p)
+                rids = np.empty(n, np.int32)
+                bits = np.empty(n, np.int8)
+                for i, (rid, ori, _off) in enumerate(p):
+                    rids[i] = rid
+                    bits[i] = 0 if (ori & 1) == 1 else 1
+                yield (rids, bits)
+
+    def register_rope(self, edge, rope) -> None:
+        self.by_addr[edge.addr] = edge
+        idx0 = 0
+        for rids, bits in self._rope_parts(rope):
+            self.nat.add_bulk(rids, bits, edge.addr, idx0=idx0)
+            idx0 += len(rids)
+
+    def unregister_rope(self, edge, rope) -> None:
+        idx0 = 0
+        for rids, bits in self._rope_parts(rope):
+            self.nat.remove_bulk(rids, bits, edge.addr, idx0=idx0)
+            idx0 += len(rids)
         self.by_addr.pop(edge.addr, None)
 
     def entries(self, rid: int, orient_bit: int) -> List[Tuple]:

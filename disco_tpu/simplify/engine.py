@@ -61,13 +61,12 @@ class FullGraph:
     def _update_read_locations(self, e: Edge, insert: bool) -> None:
         # reference: updateReadsLocations + updateEdgeInfo (:3736-3776)
         if e.inner.n:
-            cols = e.inner.columns()
-            # orient_bit: 0 for forward-oriented inner reads (ori&1 == 1)
-            ori_bits = (1 - (cols.ori & 1)).astype(np.int8)
+            # leaf-wise registration: never forces a top-level columns()
+            # cache on composite ropes (orient_bit 0 <=> ori&1 == 1)
             if insert:
-                self.d.edge_locs.add_edge_bulk(e, cols.rid, ori_bits)
+                self.d.edge_locs.register_rope(e, e.inner)
             else:
-                self.d.edge_locs.remove_edge_bulk(e, cols.rid, ori_bits)
+                self.d.edge_locs.unregister_rope(e, e.inner)
 
     def insert_fwd_edge(self, e: Edge) -> None:
         lst = self.g.ensure(e.src)
@@ -136,9 +135,11 @@ class FullGraph:
                 unused_mate = 0
                 rope = Rope.EMPTY
                 if len(tok) > 3 and tok[3]:
-                    flat = np.array(
-                        tok[3][1:-1].replace(")(", ",").split(","),
-                        dtype=np.int64)
+                    # text-mode fromstring: no transient list of per-number
+                    # strings (an edge line can carry millions of triples)
+                    flat = np.fromstring(
+                        tok[3][1:-1].replace(")(", ","), dtype=np.int64,
+                        sep=",")
                     n_inner = len(flat) // 3
                     rids = flat[0::3]
                     used_ctr = int(np.count_nonzero(used_np[rids]))
@@ -496,7 +497,9 @@ class FullGraph:
         ovl = np.cumsum(cols.off.astype(np.int64))
         lens = self.d.read_len_array()[rids]
         ends = np.minimum(ovl + lens, length)
-        diff = np.zeros(length + 1, np.int64)
+        # int32 diff + in-place cumsum: the largest edge's profile is
+        # genome-scale (a 100 Mb scaffold = 800 MB as two int64 arrays)
+        diff = np.zeros(length + 1, np.int32)
         base = ends > ovl
         np.add.at(diff, ovl[base], 1)
         np.add.at(diff, ends[base], -1)
@@ -518,7 +521,9 @@ class FullGraph:
         if ca:
             np.add.at(diff, np.asarray(ca, np.int64), 1)
             np.add.at(diff, np.asarray(cb, np.int64), -1)
-        return np.cumsum(diff[:length])
+        out = diff[:length]
+        np.cumsum(out, out=out)
+        return out
 
     # ------------------------------------------------------------------
     # branch clipping (reference: clipBranches, :704-771)
@@ -784,20 +789,21 @@ class FullGraph:
     def print_all_edges(self, path: str, *extra_paths: str) -> None:
         """Write the graph snapshot to `path` (and identical copies to
         `extra_paths` — the driver always snapshots each phase twice, once
-        as the phase file and once as _CurrGraph_; format once)."""
-        parts: List[str] = []
-        for i in list(self.g.keys):
-            lst = self.g.get(i)
-            if not lst:
-                continue
-            for e in lst:
-                if e.is_smaller():
-                    parts.append(self.format_edge(e))
-                    parts.append("\n")
-        blob = "".join(parts)
-        for p in (path, *extra_paths):
-            with open(p, "w") as f:
-                f.write(blob)
+        as the phase file and once as _CurrGraph_; format once).  Streams
+        to the first file and OS-copies the rest — the joined blob was a
+        file-sized transient at metagenome scale."""
+        with open(path, "w") as f:
+            for i in list(self.g.keys):
+                lst = self.g.get(i)
+                if not lst:
+                    continue
+                for e in lst:
+                    if e.is_smaller():
+                        f.write(self.format_edge(e))
+                        f.write("\n")
+        import shutil
+        for p in extra_paths:
+            shutil.copyfile(path, p)
 
     def get_edges(self) -> List[Edge]:
         """Length-sorted descending (reference: getEdges :1708-1733 —
