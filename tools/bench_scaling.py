@@ -144,7 +144,7 @@ def main():
 
     # model summary at TPU rates
     ICI = float(os.environ.get("DISCO_TPU_ICI_BPS", 9e10))  # ~90 GB/s v5e
-    RATE = float(os.environ.get("DISCO_TPU_VERIFY_RATE", 1.3e8))
+    RATE = float(os.environ.get("DISCO_TPU_VERIFY_RATE", 5.75e8))
     last = rows[-1]
     comm_s = last["bytes_per_dev_per_superstep"] / ICI
     comp_s = 2 * last["pairs_per_dev_per_superstep"] / RATE
