@@ -60,8 +60,18 @@ def load_contained_reads(path: str, store: ReadStore) -> np.ndarray:
 def run_buildg(paired_files: Sequence[str], single_files: Sequence[str],
                prefix: str, min_overlap: int = 30,
                write_par_graph_size: int = 1000,
-               store: Optional[ReadStore] = None):
-    """Full graph-construction phase. Returns (store, relation, superread)."""
+               store: Optional[ReadStore] = None,
+               max_mem_gb: Optional[int] = None):
+    """Full graph-construction phase. Returns (store, relation, superread).
+
+    max_mem_gb (the CLI's -m, the reference's memory budget knob that
+    sizes its chunking, src/BuildGraph/src/OverlapGraph.cpp:67-81)
+    additionally selects the native protocol: with budget to spare the
+    ONE-PASS relation (single probe sweep over all windows, ~2x the
+    two-pass wall speed, peak ~6x the reads-file size) runs instead of
+    the bounded-memory TWO-PASS protocol (~3.5x the reads file).
+    Outputs are byte-identical either way (the one-pass path was the
+    round-3 production protocol; both stay under test)."""
     ccr_done, gc_done = read_checkpoint_info(prefix)
     if gc_done:
         return None, None, None
@@ -92,11 +102,21 @@ def run_buildg(paired_files: Sequence[str], single_files: Sequence[str],
     backend_forced = bool(os.environ.get("DISCO_TPU_BACKEND"))
     two_pass = backend == "native" or (not backend_forced
                                        and n_win < (1 << 20))
+    if two_pass and max_mem_gb:
+        # one-pass protocol when the -m budget covers its peak (~6x the
+        # reads-file size; the two-pass protocol needs ~3.5x): one probe
+        # sweep instead of two — measured ~2x the native wall at 30 Mb
+        fasta_gb = sum(os.path.getsize(p)
+                       for p in (*paired_files, *single_files)) / (1 << 30)
+        if max_mem_gb >= 6 * fasta_gb + 2:
+            two_pass = False
 
     rel = None
     if not two_pass:
         with clock("overlapRelation"):
-            rel = compute_relation(store, table)
+            # pin the already-resolved backend: the -m one-pass branch
+            # must not silently re-route a native run to the device
+            rel = compute_relation(store, table, backend=backend)
 
     cont_path = prefix + "_0_containedReads.txt"
     if ccr_done and os.path.exists(cont_path):

@@ -194,7 +194,7 @@ def cmd_buildg(args) -> int:
                            dist_mem=args.rma)
     else:
         run_buildg(paired, single, args.f, min_overlap=min_ovl,
-                   write_par_graph_size=wsize)
+                   write_par_graph_size=wsize, max_mem_gb=args.m)
     return 0
 
 

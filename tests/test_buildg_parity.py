@@ -69,3 +69,29 @@ def test_buildg_parity(case, prefix, pe, se, wsize, tmp_path):
         got = pathlib.Path(out + suffix).read_text()
         want = (d / (prefix + suffix)).read_text()
         assert got == want, f"{case}{suffix} differs"
+
+
+def test_one_pass_mem_budget_matches_two_pass(tmp_path):
+    """-m budgets large enough select the one-pass protocol (single probe
+    sweep); outputs must be byte-identical to the bounded-memory two-pass
+    default."""
+    import os
+    import shutil
+
+    from conftest import GOLDEN
+    from disco_tpu.buildg.pipeline import run_buildg
+
+    reads = str(GOLDEN / "mini" / "reads.fasta")
+    os.environ["DISCO_TPU_BACKEND"] = "native"
+    try:
+        run_buildg([reads], [], str(tmp_path / "TP"), min_overlap=30,
+                   write_par_graph_size=1000)
+        run_buildg([reads], [], str(tmp_path / "OP"), min_overlap=30,
+                   write_par_graph_size=1000, max_mem_gb=64)
+    finally:
+        del os.environ["DISCO_TPU_BACKEND"]
+    for suf in ("_0_parGraph.txt", "_0_containedReads.txt",
+                "_0_startRead.txt"):
+        a = (tmp_path / f"TP{suf}").read_bytes()
+        b = (tmp_path / f"OP{suf}").read_bytes()
+        assert a == b, suf
