@@ -186,14 +186,21 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
     graph.on_disk_snapshot = on_disk_snapshot
     if phase_done[P_PARSIMPLIFY] == 0:
         with clock("parSimplifyAndLoad"):
+            from ..utils.logging import malloc_trim
             for i, ef in enumerate(edge_files):
                 out = f"{prefix}_{i}_ParSimpleEdges.txt"
                 if not os.path.exists(out):
                     parsimplify_native(ef, out, params.min_ovl)
+                    # the native parsimplify arena is freed but glibc
+                    # retains the pages; trim so the engine load doesn't
+                    # stack on top of them (the reference runs
+                    # parsimplify as a separate process)
+                    malloc_trim()
                 graph.read_par_edges(out)
             graph.sort_edges_by_dest()
             while graph.contract_composite_par() > 0:
                 pass
+            malloc_trim()
         graph.print_all_edges(f"{prefix}_phase_parsimplify_{iteration}.txt",
                               f"{prefix}_CurrGraph_.txt")
         checkpoint("ParSimplify=1")

@@ -32,6 +32,20 @@ def _rss_mb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
+def malloc_trim() -> None:
+    """Return freed glibc heap pages to the OS.  Native phases (the
+    in-process parsimplify arena, relation buffers) leave hundreds of MB
+    of freed-but-retained heap behind; without the trim the NEXT phase's
+    allocations stack on top of it and set a needlessly high peak RSS
+    (the reference runs parsimplify as a separate process, so its peak
+    never stacks — this is the in-process equivalent)."""
+    import ctypes
+    try:
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except OSError:
+        pass
+
+
 @contextmanager
 def clock(name: str):
     """CLOCKSTART/CLOCKSTOP equivalent: wall seconds + RSS delta.
