@@ -171,3 +171,35 @@ def test_streaming_scan_matches_buffer_scan(tmp_path):
     assert got is not None
     blob, offs = got
     assert len(offs) == 1 and len(blob) <= 1
+
+
+def test_iter_record_windows_matches_full_scan(tmp_path):
+    """Windowed record extraction must reproduce the whole-file scan
+    byte-for-byte on both FASTA and FASTQ, across window boundaries."""
+    import numpy as np
+
+    from disco_tpu import native
+
+    rng = np.random.default_rng(5)
+    fa = tmp_path / "w.fasta"
+    with open(fa, "w") as f:
+        for i in range(500):
+            seq = "".join(rng.choice(list("ACGT"), 80 + (i % 37)))
+            # multi-line records exercise the line-joining path
+            f.write(f">r{i} desc\n{seq[:50]}\n{seq[50:]}\n")
+    fq = tmp_path / "w.fastq"
+    with open(fq, "w") as f:
+        for i in range(500):
+            seq = "".join(rng.choice(list("ACGT"), 60 + (i % 23)))
+            f.write(f"@q{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+    for path in (fa, fq):
+        full, offs = native.seq_scan_path(str(path))
+        want = [bytes(full[offs[i]:offs[i + 1]])
+                for i in range(len(offs) - 1)]
+        for wb in (512, 4096):
+            got = []
+            for blob, o, _lo in native.iter_record_windows(str(path),
+                                                           window_bytes=wb):
+                got.extend(bytes(blob[o[i]:o[i + 1]])
+                           for i in range(len(o) - 1))
+            assert got == want, (path, wb)
