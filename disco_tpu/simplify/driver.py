@@ -296,10 +296,10 @@ def _simplify_iteration(dataset: SimplifyDataset, params: Params,
     checkpoint(f"Scaffold={scf_count}")
 
     # --- used-read accounting (main.cpp:273-291) ---------------------------
+    import numpy as np
     used = 0
-    for i in range(1, dataset.size() + 1):
-        if dataset.used[i]:
-            used += dataset.recursive_contained_count(i) + 1
+    for i in np.flatnonzero(dataset.used[1:]) + 1:
+        used += dataset.recursive_contained_count(int(i)) + 1
     cont = used <= params.max_reads_used * total_reads
     return {"continue": cont, "ctg_count": ctg_count,
             "scf_count": scf_count}

@@ -35,6 +35,13 @@ def _edge_read_offset(e: Edge, idx: int) -> int:
     return e.inner.offset_sum(0, e.inner.n)
 
 
+def _iter_ints(a, chunk: int = 1 << 17):
+    """Iterate a numpy index array as Python ints with bounded transient
+    boxing (a whole-array tolist holds millions of int objects at once)."""
+    for s in range(0, len(a), chunk):
+        yield from a[s:s + chunk].tolist()
+
+
 # ---------------------------------------------------------------------------
 # insert-size estimation
 # ---------------------------------------------------------------------------
@@ -72,9 +79,10 @@ def calculate_mean_sd_inner_distance(graph: FullGraph) -> None:
             dists: List[int] = []
             locs = d.edge_locs
             con = d.con_reads
-            for i in range(ds.r1_start, ds.r1_end + 1):
-                if not locs[i]:
-                    continue  # fwd_edges(i) would be empty for every mate
+            head = locs.nat.head
+            reg = (np.flatnonzero(head[ds.r1_start:ds.r1_end + 1] >= 0)
+                   + ds.r1_start)  # skip unregistered reads in bulk
+            for i in _iter_ints(reg):
                 # mate_pair_list via the cached vectorized mate array
                 # (identical semantics incl. contained-mate quirks)
                 m = ma[i]
